@@ -1,0 +1,3 @@
+from .logging import setup_logger
+from .colors import color_encode, STREETHAZARDS_COLORS, CITYSCAPES_TRAIN_COLORS
+from .visualize import Denormalize, save_result_grid
