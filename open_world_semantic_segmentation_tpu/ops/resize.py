@@ -1,0 +1,79 @@
+"""Bilinear resize with exact PyTorch ``align_corners=False`` semantics.
+
+The reference upsamples logits/features with
+``nn.functional.interpolate(mode='bilinear', align_corners=False)`` everywhere
+(anomaly/models/models.py:660, DeepLabV3Plus-Pytorch/network/utils.py:52);
+argmax boundaries — and therefore mIoU and every OOD metric — depend on this
+exact sampling grid, so we reproduce it rather than using ``jax.image.resize``
+(whose downsampling path applies an anti-aliasing triangle filter torch does
+not).
+
+Torch's source grid for align_corners=False:
+    src = max(0, (dst + 0.5) * (in_size / out_size) - 0.5)
+    lo  = floor(src); hi = min(lo + 1, in_size - 1); w_hi = src - lo
+
+Shapes are static under jit, so the gather indices and lerp weights are
+precomputed with numpy at trace time and folded into the program as
+constants. The op is separable: a height pass then a width pass, each a pair
+of gathers + a lerp — fully fusable by XLA. Layout is NHWC (TPU-native).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_weights(in_size: int, out_size: int):
+    """(lo_idx, hi_idx, hi_weight) numpy arrays for one axis."""
+    if in_size == out_size:
+        return None
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * (in_size / out_size) - 0.5
+    src = np.maximum(src, 0.0)
+    lo = np.floor(src).astype(np.int32)
+    lo = np.minimum(lo, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
+
+
+def _resize_axis(x, out_size: int, axis: int):
+    in_size = x.shape[axis]
+    aw = _axis_weights(in_size, out_size)
+    if aw is None:
+        return x
+    lo, hi, w_hi = aw
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(w_hi).reshape(shape).astype(x.dtype)
+    return x_lo * (1 - w) + x_hi * w
+
+
+def bilinear_resize(x, size, *, channel_last: bool = True):
+    """Resize ``x`` (NHWC or HWC if channel_last, else NCHW/CHW) to ``size``.
+
+    ``size`` is (H_out, W_out). Matches
+    ``torch.nn.functional.interpolate(..., mode='bilinear',
+    align_corners=False)`` exactly (given the same dtype).
+    """
+    h_out, w_out = int(size[0]), int(size[1])
+    if channel_last:
+        h_ax = x.ndim - 3
+        w_ax = x.ndim - 2
+    else:
+        h_ax = x.ndim - 2
+        w_ax = x.ndim - 1
+    x = _resize_axis(x, h_out, h_ax)
+    x = _resize_axis(x, w_out, w_ax)
+    return x
+
+
+def resize_like_torch(x, size):
+    """Alias for NHWC bilinear resize (reference-parity entry point)."""
+    return bilinear_resize(x, size, channel_last=True)

@@ -1,0 +1,95 @@
+"""Parity tests for ops vs PyTorch CPU reference implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from open_world_semantic_segmentation_tpu.ops import (
+    bilinear_resize,
+    adaptive_avg_pool,
+    max_pool_3x3_s2_p1,
+    distance_logits,
+    one_hot_center_logits,
+    prototype_distance,
+)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((12, 17), (90, 160)),     # upsample, non-integer ratio
+    ((45, 80), (720, 1280)),   # the StreetHazards eval upsample ratio
+    ((33, 44), (16, 23)),      # downsample (torch does not antialias)
+    ((8, 8), (8, 8)),          # identity
+    ((1, 1), (7, 5)),          # degenerate
+])
+def test_bilinear_resize_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    got = np.asarray(bilinear_resize(jnp.asarray(x), out_hw))
+    want = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+        mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,scale", [
+    ((24, 24), 1), ((24, 24), 2), ((24, 24), 3), ((24, 24), 6),
+    ((37, 53), 6),   # uneven bins (8 does not divide 37)
+    ((90, 160), 3),  # StreetHazards conv5 size at scale 720p/8
+    ((5, 7), (2, 3)),
+])
+def test_adaptive_avg_pool_matches_torch(in_hw, scale):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, *in_hw, 5)).astype(np.float32)
+    got = np.asarray(adaptive_avg_pool(jnp.asarray(x), scale))
+    want = F.adaptive_avg_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), scale
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("in_hw", [(112, 112), (113, 115), (90, 160)])
+def test_maxpool_matches_torch(in_hw):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, *in_hw, 4)).astype(np.float32)
+    got = np.asarray(max_pool_3x3_s2_p1(jnp.asarray(x)))
+    want = F.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3, stride=2, padding=1
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want)
+
+
+def _naive_distance_logits(x, centers):
+    # the reference's broadcast formulation (models.py:645-651)
+    diff = x[..., None, :] - centers  # (..., K, C)
+    return -np.sum(diff ** 2, axis=-1)
+
+
+def test_distance_logits_matches_naive_broadcast():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 9, 11, 13)).astype(np.float32)
+    centers = rng.standard_normal((13, 13)).astype(np.float32)
+    got = np.asarray(distance_logits(jnp.asarray(x), jnp.asarray(centers)))
+    want = _naive_distance_logits(x, centers)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_one_hot_center_logits_equals_general_form():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 8, 8, 17)).astype(np.float32)
+    centers = 3.0 * np.eye(17, dtype=np.float32)
+    got = np.asarray(one_hot_center_logits(jnp.asarray(x), 3.0))
+    want = _naive_distance_logits(x, centers)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_prototype_distance_matches_numpy():
+    rng = np.random.default_rng(5)
+    f = rng.standard_normal((6, 7, 16)).astype(np.float32)
+    proto = rng.standard_normal(16).astype(np.float32)
+    got = np.asarray(prototype_distance(jnp.asarray(f), jnp.asarray(proto)))
+    want = -np.sum((f - proto) ** 2, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
