@@ -1,0 +1,296 @@
+"""Scene-parsing decoders: C1, PPM (pyramid pooling), UPerNet, and the DML
+embedding variant.
+
+Parity targets (anomaly/models/models.py):
+- C1 / C1DeepSup          :440-462 / :404-436
+- PPM / PPMDeepsup        :466-511 / :515-584
+- PPMDeepsup_embedding    :586-687  (distance head vs fixed one-hot centers)
+- UPerNet                 :690-777
+
+Behavioral notes reproduced here:
+- At inference C1/PPM/UPerNet apply softmax after upsampling; PPMDeepsup and
+  PPMDeepsup_embedding do NOT (models.py:562, 662 are commented out) — the
+  OOD scoring math depends on receiving raw (distance) logits.
+- The embedding decoder's ``ft`` output at inference is the *pre-distance*
+  K-dim conv map upsampled to seg_size (models.py:667-669), while PPMDeepsup
+  returns the 4096-d PPM concat un-upsampled (models.py:555, 564-567).
+- The deep-supervision branch parameters exist and run, but the reference's
+  shipped loss never backprops through them (models.py:79-81 commented);
+  training code treats deepsup as optional via config.
+
+Decoders return a dict: {"scores", optional "deepsup", optional "ft"}.
+When ``seg_size`` is given, scores (and embedding ``ft``) are bilinearly
+upsampled (torch align_corners=False parity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import BNConfig, Conv, ConvBN, kaiming_normal
+from ..ops.pool import adaptive_avg_pool
+from ..ops.resize import bilinear_resize
+from ..ops.distance import one_hot_center_logits
+
+# ModelBuilder.weights_init (models.py:124-131): decoder convs use
+# kaiming_normal (fan_in); decoder BN weight=1, bias=1e-4.
+DECODER_BN = BNConfig(bias_init=nn.initializers.constant(1e-4))
+
+
+def _maybe_upsample(x, seg_size):
+    if seg_size is None:
+        return x
+    return bilinear_resize(x, seg_size)
+
+
+class C1(nn.Module):
+    """Single 3x3 conv-bn-relu + 1x1 classifier (models.py:440-462)."""
+
+    num_class: int = 150
+    fc_dim: int = 2048
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        x = ConvBN(self.fc_dim // 4, (3, 3), padding=1, bn=self.bn,
+                   train=self.train, dtype=self.dtype,
+                   conv_init=kaiming_normal, name="cbr")(conv_out[-1])
+        x = Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                 dtype=self.dtype, name="conv_last")(x)
+        x = _maybe_upsample(x, seg_size)
+        if self.use_softmax and seg_size is not None:
+            x = nn.softmax(x, axis=-1)
+        return {"scores": x}
+
+
+class C1DeepSup(nn.Module):
+    """C1 plus a deep-supervision branch off conv4 (models.py:404-436)."""
+
+    num_class: int = 150
+    fc_dim: int = 2048
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        x = ConvBN(self.fc_dim // 4, (3, 3), padding=1, bn=self.bn,
+                   train=self.train, dtype=self.dtype,
+                   conv_init=kaiming_normal, name="cbr")(conv_out[-1])
+        x = Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                 dtype=self.dtype, name="conv_last")(x)
+        if self.use_softmax and seg_size is not None:
+            return {"scores": nn.softmax(_maybe_upsample(x, seg_size), axis=-1)}
+        ds = ConvBN(self.fc_dim // 4, (3, 3), padding=1, bn=self.bn,
+                    train=self.train, dtype=self.dtype,
+                    conv_init=kaiming_normal, name="cbr_deepsup")(conv_out[-2])
+        ds = Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                  dtype=self.dtype, name="conv_last_deepsup")(ds)
+        return {"scores": _maybe_upsample(x, seg_size), "deepsup": ds}
+
+
+class _PPMTrunk(nn.Module):
+    """Pyramid pooling concat: conv5 + (pool->1x1 conv-bn-relu->upsample)xS."""
+
+    fc_dim: int = 4096
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv5):
+        size = conv5.shape[-3:-1]
+        outs = [conv5]
+        for i, scale in enumerate(self.pool_scales):
+            p = adaptive_avg_pool(conv5, scale)
+            p = ConvBN(512, (1, 1), bn=self.bn, train=self.train,
+                       dtype=self.dtype, conv_init=kaiming_normal,
+                       name=f"ppm{i}")(p)
+            outs.append(bilinear_resize(p, size))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class _PPMHead(nn.Module):
+    """conv_last: 3x3 conv-bn-relu -> dropout(0.1) -> 1x1 to num_class."""
+
+    num_class: int
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(512, (3, 3), padding=1, bn=self.bn, train=self.train,
+                   dtype=self.dtype, conv_init=kaiming_normal, name="fuse")(x)
+        x = nn.Dropout(0.1, deterministic=not self.train, name="drop")(x)
+        return Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                    dtype=self.dtype, name="out")(x)
+
+
+class PPM(nn.Module):
+    """models.py:466-511."""
+
+    num_class: int = 150
+    fc_dim: int = 4096
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        x = _PPMTrunk(self.fc_dim, self.pool_scales, self.train, self.dtype,
+                      self.bn, name="ppm")(conv_out[-1])
+        x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
+                     name="conv_last")(x)
+        x = _maybe_upsample(x, seg_size)
+        if self.use_softmax and seg_size is not None:
+            x = nn.softmax(x, axis=-1)
+        return {"scores": x}
+
+
+class _DeepsupBranch(nn.Module):
+    """cbr_deepsup + dropout + conv_last_deepsup off conv4."""
+
+    num_class: int
+    fc_dim: int
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv4):
+        ds = ConvBN(self.fc_dim // 4, (3, 3), padding=1, bn=self.bn,
+                    train=self.train, dtype=self.dtype,
+                    conv_init=kaiming_normal, name="cbr_deepsup")(conv4)
+        ds = nn.Dropout(0.1, deterministic=not self.train,
+                        name="dropout_deepsup")(ds)
+        return Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                    dtype=self.dtype, name="conv_last_deepsup")(ds)
+
+
+class PPMDeepsup(nn.Module):
+    """models.py:515-584. Inference returns RAW logits (softmax commented out)
+    plus the 4096-d PPM concat as ``ft`` (used by reconstruction scoring)."""
+
+    num_class: int = 150
+    fc_dim: int = 4096
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
+                            self.dtype, self.bn, name="ppm")(conv_out[-1])
+        x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
+                     name="conv_last")(ppm_out)
+        if seg_size is not None:
+            return {"scores": bilinear_resize(x, seg_size), "ft": ppm_out}
+        ds = _DeepsupBranch(self.num_class, self.fc_dim, self.train,
+                            self.dtype, self.bn, name="deepsup")(conv_out[-2])
+        return {"scores": x, "deepsup": ds, "ft": ppm_out}
+
+
+class PPMDeepsupEmbedding(nn.Module):
+    """models.py:586-687: PPMDeepsup trunk whose K-dim conv output is read as
+    a pixel embedding; logits are -||x - m*e_k||^2 against fixed one-hot
+    centers (magnitude 3). The distance head is computed algebraically
+    (ops/distance.py) — the reference's B x HW x K x C broadcast tensor never
+    exists. ``ft`` at inference is the pre-distance K-dim map upsampled to
+    seg_size (models.py:667-669)."""
+
+    num_class: int = 13
+    fc_dim: int = 4096
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    magnitude: float = 3.0
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
+                            self.dtype, self.bn, name="ppm")(conv_out[-1])
+        emb = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
+                       name="conv_last")(ppm_out)
+        scores = one_hot_center_logits(emb, self.magnitude)
+        if seg_size is not None:
+            return {
+                "scores": bilinear_resize(scores, seg_size),
+                "ft": bilinear_resize(emb, seg_size),
+            }
+        ds = _DeepsupBranch(self.num_class, self.fc_dim, self.train,
+                            self.dtype, self.bn, name="deepsup")(conv_out[-2])
+        return {"scores": scores, "deepsup": ds, "ft": ppm_out,
+                "embedding": emb}
+
+
+class UPerNet(nn.Module):
+    """FPN + PPM decoder (models.py:690-777)."""
+
+    num_class: int = 150
+    fc_dim: int = 4096
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    fpn_inplanes: Sequence[int] = (256, 512, 1024, 2048)
+    fpn_dim: int = 256
+    use_softmax: bool = False
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size=None):
+        conv5 = conv_out[-1]
+        size5 = conv5.shape[-3:-1]
+        ppm_out = [conv5]
+        for i, scale in enumerate(self.pool_scales):
+            p = adaptive_avg_pool(conv5, scale)
+            p = bilinear_resize(p, size5)
+            p = ConvBN(512, (1, 1), bn=self.bn, train=self.train,
+                       dtype=self.dtype, conv_init=kaiming_normal,
+                       name=f"ppm_conv{i}")(p)
+            ppm_out.append(p)
+        f = ConvBN(self.fpn_dim, (3, 3), padding=1, bn=self.bn,
+                   train=self.train, dtype=self.dtype,
+                   conv_init=kaiming_normal, name="ppm_last_conv")(
+            jnp.concatenate(ppm_out, axis=-1))
+
+        fpn_features = [f]
+        for i in reversed(range(len(conv_out) - 1)):
+            lateral = ConvBN(self.fpn_dim, (1, 1), bn=self.bn,
+                             train=self.train, dtype=self.dtype,
+                             conv_init=kaiming_normal, name=f"fpn_in{i}")(
+                conv_out[i])
+            f = lateral + bilinear_resize(f, lateral.shape[-3:-1])
+            out = ConvBN(self.fpn_dim, (3, 3), padding=1, bn=self.bn,
+                         train=self.train, dtype=self.dtype,
+                         conv_init=kaiming_normal, name=f"fpn_out{i}")(f)
+            fpn_features.append(out)
+        fpn_features.reverse()
+
+        out_size = fpn_features[0].shape[-3:-1]
+        fusion = [fpn_features[0]] + [
+            bilinear_resize(p, out_size) for p in fpn_features[1:]]
+        x = ConvBN(self.fpn_dim, (3, 3), padding=1, bn=self.bn,
+                   train=self.train, dtype=self.dtype,
+                   conv_init=kaiming_normal, name="conv_fusion")(
+            jnp.concatenate(fusion, axis=-1))
+        x = Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
+                 dtype=self.dtype, name="conv_last")(x)
+        x = _maybe_upsample(x, seg_size)
+        if self.use_softmax and seg_size is not None:
+            x = nn.softmax(x, axis=-1)
+        return {"scores": x}

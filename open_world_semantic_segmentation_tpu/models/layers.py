@@ -1,0 +1,140 @@
+"""Shared Flax building blocks: conv + batch-norm + activation, NHWC.
+
+Cross-replica batch statistics — the reference's thread-based SyncBN
+(anomaly/lib/nn/modules/batchnorm.py) — come for free on TPU: under a single
+pjit-compiled SPMD program, BN reduces over the *global* batch dimension and
+XLA inserts the ICI collectives. When running under ``shard_map``/``pmap``
+instead, set ``BNConfig.axis_name`` to the data mesh axis and Flax's
+BatchNorm performs the ``lax.pmean`` explicitly. No replication callbacks, no
+master/slave pipes.
+
+Parameter naming mirrors the reference's torch attribute paths so the
+checkpoint converter (train/convert.py) is a pure name/layout map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch kaiming_normal_(fan_in) == he_normal; used by decoder weights_init
+kaiming_normal = nn.initializers.he_normal()
+# CSAIL ResNet conv init: normal(0, sqrt(2 / (kh*kw*out_ch))) == fan_out
+kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+@dataclasses.dataclass(frozen=True)
+class BNConfig:
+    """Batch-norm behavior shared across a model.
+
+    momentum is the torch convention (new = (1-m)*running + m*batch);
+    the reference uses 0.1 for the anomaly stack and 0.01 for DeepLab
+    backbones (main.py:290 set_bn_momentum).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None  # set for shard_map/pmap cross-replica BN
+    bias_init: Callable = nn.initializers.zeros_init()
+    scale_init: Callable = nn.initializers.ones_init()
+
+    def make(self, use_running_average: bool, dtype=None, name=None):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            bias_init=self.bias_init,
+            scale_init=self.scale_init,
+            name=name,
+        )
+
+
+def conv_init_for(style: str):
+    if style == "fan_out":
+        return kaiming_fan_out
+    if style == "fan_in":
+        return kaiming_normal
+    raise ValueError(style)
+
+
+class ConvBN(nn.Module):
+    """Conv2D (no bias) + BatchNorm + optional ReLU, NHWC.
+
+    ``padding`` follows torch semantics: an int p means p pixels both sides.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    relu: bool = True
+    bn: BNConfig = BNConfig()
+    train: bool = False
+    dtype: Any = jnp.float32
+    conv_init: Callable = kaiming_fan_out
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, tuple) and isinstance(pad[0], int):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.conv_init,
+            name="conv",
+        )(x)
+        x = self.bn.make(not self.train, dtype=self.dtype, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Conv(nn.Module):
+    """Plain torch-style Conv2D wrapper (bias optional), NHWC."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    conv_init: Callable = kaiming_fan_out
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.conv_init,
+            name="conv",
+        )(x)

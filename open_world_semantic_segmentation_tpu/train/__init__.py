@@ -1,0 +1,15 @@
+from .losses import (
+    cross_entropy,
+    pixel_acc,
+    dml_segmentation_loss,
+    deeplab_cross_entropy,
+    focal_loss,
+    distillation_loss,
+)
+from .optim import (
+    poly_schedule,
+    torch_sgd,
+    decay_mask,
+    two_group_optimizer,
+    backbone_classifier_optimizer,
+)
