@@ -1,0 +1,73 @@
+"""Host->device feeding: background loading + double-buffered device_put.
+
+Replaces the reference's vendored multiprocessing DataLoader + pinned-memory
+CUDA side streams (anomaly/lib/utils/data/dataloader.py,
+anomaly/lib/nn/parallel/data_parallel.py:82-96). On TPU, ``jax.device_put``
+is already asynchronous; overlapping the *host* work (PIL decode, resize,
+normalize) with device compute is what matters, so batches are produced by a
+thread pool and transferred one step ahead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+
+
+def _worker(it, q, stop):
+    try:
+        for item in it:
+            if stop.is_set():
+                return
+            q.put(item)
+        q.put(_END)
+    except BaseException as e:  # surface loader errors to the consumer
+        q.put(e)
+
+
+_END = object()
+
+
+def prefetch_to_device(iterable: Iterable, *, size: int = 2,
+                       sharding=None,
+                       transform: Optional[Callable] = None) -> Iterator:
+    """Iterate ``iterable`` with ``size`` batches in flight on device.
+
+    ``sharding`` (e.g. a NamedSharding over the data axis) makes device_put
+    lay each batch out across the mesh; ``transform`` runs on host before the
+    transfer (e.g. numpy collation).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    t = threading.Thread(target=_worker, args=(iter(iterable), q, stop),
+                         daemon=True)
+    t.start()
+
+    def put(batch):
+        if transform is not None:
+            batch = transform(batch)
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    try:
+        pending = []
+        exhausted = False
+        while True:
+            while not exhausted and len(pending) < size:
+                item = q.get()
+                if item is _END:
+                    exhausted = True
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                pending.append(put(item))
+            if not pending:
+                return
+            yield pending.pop(0)
+    finally:
+        stop.set()

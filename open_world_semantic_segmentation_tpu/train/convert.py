@@ -1,0 +1,263 @@
+"""PyTorch checkpoint -> Flax variables converter.
+
+Ingests the reference's published ``.pth`` files (README.md:20-21, 60-63:
+anomaly ``encoder_epoch_*.pth``/``decoder_epoch_*.pth`` state_dicts and
+DeepLab ``{cur_itrs, model_state, ...}`` dicts, main.py:315-325) and emits
+the NHWC Flax ``{"params": ..., "batch_stats": ...}`` trees of the matching
+models in this package.
+
+Key translation is rule-based (regex -> dotted flax path); tensor layout:
+conv ``(O, I/g, kh, kw) -> (kh, kw, I/g, O)``; BN ``weight/bias/
+running_mean/running_var -> scale/bias (params) + mean/var (batch_stats)``.
+
+SyncBN quirk note: the reference SyncBN tracks a cumulative moving average in
+``_tmp_running_mean / _running_iter`` (batchnorm.py:49-54, 132-137) but its
+``running_mean/running_var`` buffers hold the final statistics used at eval —
+those are what we ingest; the temp buffers are dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _set(tree: dict, path: str, value):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# encoder (CSAIL ResNet / ResNeXt deep stem; torchvision stem)
+
+
+def _translate_resnet_key(key: str, deep_stem: bool):
+    """torch resnet key -> (flax_path_without_leaf, leaf_kind)."""
+    m = re.match(r"^conv([123])\.weight$", key)
+    if m:
+        return f"stem{m.group(1)}/conv", "conv"
+    m = re.match(r"^bn([123])\.(\w+)$", key)
+    if m:
+        return f"stem{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^layer(\d)\.(\d+)\.conv(\d)\.weight$", key)
+    if m:
+        return f"layer{m.group(1)}_{m.group(2)}/c{m.group(3)}/conv", "conv"
+    m = re.match(r"^layer(\d)\.(\d+)\.bn(\d)\.(\w+)$", key)
+    if m:
+        return f"layer{m.group(1)}_{m.group(2)}/c{m.group(3)}/bn", m.group(4)
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.0\.weight$", key)
+    if m:
+        return f"layer{m.group(1)}_{m.group(2)}/down/conv", "conv"
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.1\.(\w+)$", key)
+    if m:
+        return f"layer{m.group(1)}_{m.group(2)}/down/bn", m.group(3)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# decoders (PPM family / C1 family)
+
+
+def _translate_decoder_key(key: str):
+    m = re.match(r"^ppm\.(\d)\.1\.weight$", key)
+    if m:
+        return f"ppm/ppm{m.group(1)}/conv", "conv"
+    m = re.match(r"^ppm\.(\d)\.2\.(\w+)$", key)
+    if m:
+        return f"ppm/ppm{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^conv_last\.0\.weight$", key)
+    if m:
+        return "conv_last/fuse/conv", "conv"
+    m = re.match(r"^conv_last\.1\.(\w+)$", key)
+    if m:
+        return "conv_last/fuse/bn", m.group(1)
+    m = re.match(r"^conv_last\.4\.(weight|bias)$", key)
+    if m:
+        return "conv_last/out/conv", {"weight": "conv", "bias": "cbias"}[m.group(1)]
+    m = re.match(r"^cbr_deepsup\.0\.weight$", key)
+    if m:
+        return "deepsup/cbr_deepsup/conv", "conv"
+    m = re.match(r"^cbr_deepsup\.1\.(\w+)$", key)
+    if m:
+        return "deepsup/cbr_deepsup/bn", m.group(1)
+    m = re.match(r"^conv_last_deepsup\.(weight|bias)$", key)
+    if m:
+        return ("deepsup/conv_last_deepsup/conv",
+                {"weight": "conv", "bias": "cbias"}[m.group(1)])
+    # C1 family
+    m = re.match(r"^cbr\.0\.weight$", key)
+    if m:
+        return "cbr/conv", "conv"
+    m = re.match(r"^cbr\.1\.(\w+)$", key)
+    if m:
+        return "cbr/bn", m.group(1)
+    m = re.match(r"^conv_last\.(weight|bias)$", key)
+    if m:
+        return "conv_last/conv", {"weight": "conv", "bias": "cbias"}[m.group(1)]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# DeepLab heads
+
+
+def _translate_deeplab_head_key(key: str):
+    """DeepLabHeadV3Plus state_dict keys (relative, no 'classifier.' prefix)."""
+    m = re.match(r"^project\.0\.weight$", key)
+    if m:
+        return "project/conv", "conv"
+    m = re.match(r"^project\.1\.(\w+)$", key)
+    if m:
+        return "project/bn", m.group(1)
+    m = re.match(r"^aspp\.convs\.0\.0\.weight$", key)
+    if m:
+        return "aspp/b0/conv", "conv"
+    m = re.match(r"^aspp\.convs\.0\.1\.(\w+)$", key)
+    if m:
+        return "aspp/b0/bn", m.group(1)
+    m = re.match(r"^aspp\.convs\.([123])\.0\.weight$", key)
+    if m:
+        return f"aspp/b{m.group(1)}/conv", "conv"
+    m = re.match(r"^aspp\.convs\.([123])\.1\.(\w+)$", key)
+    if m:
+        return f"aspp/b{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^aspp\.convs\.4\.1\.weight$", key)
+    if m:
+        return "aspp/pool/conv", "conv"
+    m = re.match(r"^aspp\.convs\.4\.2\.(\w+)$", key)
+    if m:
+        return "aspp/pool/bn", m.group(1)
+    m = re.match(r"^aspp\.project\.0\.weight$", key)
+    if m:
+        return "aspp/project/conv", "conv"
+    m = re.match(r"^aspp\.project\.1\.(\w+)$", key)
+    if m:
+        return "aspp/project/bn", m.group(1)
+    m = re.match(r"^classifier\.0\.weight$", key)
+    if m:
+        return "fuse/conv", "conv"
+    m = re.match(r"^classifier\.1\.(\w+)$", key)
+    if m:
+        return "fuse/bn", m.group(1)
+    m = re.match(r"^classifier\.3\.(weight|bias)$", key)
+    if m:
+        return "classifier/conv", {"weight": "conv", "bias": "cbias"}[m.group(1)]
+    return None
+
+
+_BN_LEAVES = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def _insert(variables, flax_dir, kind, tensor):
+    arr = np.asarray(tensor)
+    if kind == "conv":
+        _set(variables["params"], flax_dir + "/kernel", _conv_kernel(arr))
+    elif kind == "cbias":
+        _set(variables["params"], flax_dir + "/bias", arr)
+    elif kind in _BN_LEAVES:
+        col, leaf = _BN_LEAVES[kind]
+        _set(variables[col], flax_dir + "/" + leaf, arr)
+    elif kind in ("num_batches_tracked",):
+        pass
+    else:
+        raise KeyError(f"unhandled leaf kind {kind} at {flax_dir}")
+
+
+def _convert(state_dict, translate, strict=True):
+    variables = {"params": {}, "batch_stats": {}}
+    skipped = []
+    for key, tensor in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.endswith("num_batches_tracked") or "_tmp_running" in key \
+                or key.endswith("_running_iter") or key == "centers":
+            continue
+        out = translate(key)
+        if out is None:
+            skipped.append(key)
+            continue
+        flax_dir, kind = out
+        _insert(variables, flax_dir, kind, tensor)
+    if strict and skipped:
+        raise KeyError(f"untranslated torch keys: {skipped[:10]}"
+                       f" (+{max(0, len(skipped) - 10)} more)")
+    return variables, skipped
+
+
+def convert_csail_encoder(state_dict, strict=True):
+    """anomaly encoder_epoch_N.pth (ResNet deep stem) -> flax variables."""
+    return _convert(state_dict,
+                    lambda k: _translate_resnet_key(k, deep_stem=True),
+                    strict)[0]
+
+
+def convert_decoder(state_dict, strict=True):
+    """anomaly decoder_epoch_N.pth (PPM/C1 family) -> flax variables."""
+    return _convert(state_dict, _translate_decoder_key, strict)[0]
+
+
+def convert_segmentation_model(enc_state, dec_state, strict=True):
+    """Paired encoder/decoder -> variables for models.SegmentationModel."""
+    enc = convert_csail_encoder(enc_state, strict)
+    dec = convert_decoder(dec_state, strict)
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec["params"]},
+        "batch_stats": {"encoder": enc["batch_stats"],
+                        "decoder": dec["batch_stats"]},
+    }
+
+
+def _translate_deeplab_model_key(key: str, head_names=("classifier",)):
+    if key.startswith("backbone."):
+        sub = _translate_resnet_key(key[len("backbone."):], deep_stem=False)
+        if sub is None:
+            return None
+        return "backbone/" + sub[0], sub[1]
+    for head in head_names:
+        prefix = head + "."
+        if key.startswith(prefix):
+            sub = _translate_deeplab_head_key(key[len(prefix):])
+            if sub is None:
+                return None
+            # our wrapper names the single head "head"; self-distillation
+            # keeps the reference names classifier / classifier_N
+            flax_head = "head" if head_names == ("classifier",) else head
+            return f"{flax_head}/" + sub[0], sub[1]
+    return None
+
+
+def convert_deeplab_checkpoint(ckpt, head_names=("classifier",), strict=True):
+    """DeepLab checkpoint dict (or bare model_state) -> flax variables.
+
+    ``head_names=('classifier', 'classifier_1', ...)`` for the
+    self-distillation multi-head model; partial loads (reference
+    test_self_distillation.py:511-518) are expressed with ``strict=False``.
+    """
+    state = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    return _convert(
+        state, lambda k: _translate_deeplab_model_key(k, head_names),
+        strict)[0]
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pth file on CPU without importing the reference code."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}

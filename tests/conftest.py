@@ -8,10 +8,20 @@ without a real cluster" — see SURVEY.md §4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment presets JAX_PLATFORMS=axon (the TPU tunnel) AND
+# pre-imports jax via an interpreter startup hook, so setting env vars here
+# is too late for the env-var path. jax.config.update still works as long as
+# no backend has been initialized — force CPU through it, and set the fake
+# device count before first backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,156 @@
+"""Activation parity vs the reference implementation (used as a test oracle).
+
+The reference repo at /root/reference is imported read-only to build the
+torch models on CPU with random weights; those weights are converted with
+train/convert.py and the Flax forward must reproduce the torch forward.
+This validates backbone topology, dilation plan, PPM bin edges, bilinear
+upsampling and the distance head end-to-end.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted")
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from open_world_semantic_segmentation_tpu.models import (  # noqa: E402
+    ModelBuilder,
+    deeplabv3plus_resnet50,
+)
+from open_world_semantic_segmentation_tpu.train.convert import (  # noqa: E402
+    convert_segmentation_model,
+    convert_deeplab_checkpoint,
+)
+
+
+def _stub_torchvision():
+    """torchvision is not installed; the reference imports it (for unused
+    pretrained-download helpers). Provide a minimal stub."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvu = types.ModuleType("torchvision.models.utils")
+
+    def _no_url(*a, **k):
+        raise RuntimeError("no downloads in tests")
+
+    tvu.load_state_dict_from_url = _no_url
+    tv.models = tvm
+    tvm.utils = tvu
+    tvt = types.ModuleType("torchvision.transforms")
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.models.utils"] = tvu
+    sys.modules["torchvision.transforms"] = tvt
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cpu_cuda_shim():
+    """Reference code calls .cuda() unconditionally; run it on CPU."""
+    orig_t = torch.Tensor.cuda
+    orig_m = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    yield
+    torch.Tensor.cuda = orig_t
+    torch.nn.Module.cuda = orig_m
+
+
+def _np_state_dict(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def anomaly_models():
+    _stub_torchvision()
+    sys.path.insert(0, os.path.join(REF, "anomaly"))
+    try:
+        from models import models as ref_models  # noqa
+        from models import resnet as ref_resnet  # noqa
+        torch.manual_seed(0)
+        # bypass ModelBuilder.build_encoder: pretrained weights would require
+        # a download (no egress); random init is fine for parity
+        orig = ref_resnet.resnet50(pretrained=False)
+        enc = ref_models.ResnetDilated(orig, dilate_scale=8)
+        dec = ref_models.ModelBuilder.build_decoder(
+            "ppm_deepsup_embedding", fc_dim=2048, num_class=13,
+            use_softmax=True)
+    except Exception as e:
+        pytest.skip(f"cannot build reference model: {e}")
+    enc.eval()
+    dec.eval()
+    return enc, dec
+
+
+def test_streethazards_embedding_forward_parity(anomaly_models):
+    enc_t, dec_t = anomaly_models
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    seg_size = (56, 56)
+
+    with torch.no_grad():
+        conv_out = enc_t(torch.from_numpy(x), return_feature_maps=True)
+        scores_t, ft_t = dec_t(conv_out, segSize=seg_size, output_ft=True)
+    scores_t = scores_t.numpy().transpose(0, 2, 3, 1)
+    ft_t = ft_t.numpy().transpose(0, 2, 3, 1)
+
+    variables = convert_segmentation_model(
+        _np_state_dict(enc_t), _np_state_dict(dec_t))
+    model = ModelBuilder.build_segmentation_model(
+        "resnet50dilated", "ppm_deepsup_embedding", num_class=13)
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      seg_size=seg_size)
+
+    got_scores = np.asarray(out["scores"])
+    got_ft = np.asarray(out["ft"])
+    # distance logits are O(1e2-1e3) at random init; compare relative
+    scale = np.abs(scores_t).max()
+    np.testing.assert_allclose(got_scores / scale, scores_t / scale,
+                               atol=2e-5)
+    scale_ft = np.abs(ft_t).max()
+    np.testing.assert_allclose(got_ft / scale_ft, ft_t / scale_ft, atol=2e-5)
+    # argmax (prediction) parity
+    np.testing.assert_array_equal(got_scores.argmax(-1), scores_t.argmax(-1))
+
+
+@pytest.fixture(scope="module")
+def deeplab_network():
+    _stub_torchvision()
+    sys.path.insert(0, os.path.join(REF, "DeepLabV3Plus-Pytorch"))
+    try:
+        import network as torch_network  # noqa
+    except Exception as e:
+        pytest.skip(f"cannot import reference DeepLab network: {e}")
+    return torch_network
+
+
+def test_deeplabv3plus_resnet50_forward_parity(deeplab_network):
+    torch.manual_seed(1)
+    model_t = deeplab_network.deeplabv3plus_resnet50(
+        num_classes=19, output_stride=16, pretrained_backbone=False)
+    model_t.eval()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 65, 63)).astype(np.float32)
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+
+    variables = convert_deeplab_checkpoint(_np_state_dict(model_t))
+    model = deeplabv3plus_resnet50(num_classes=19, output_stride=16)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+
+    scale = np.abs(out_t).max()
+    np.testing.assert_allclose(got / scale, out_t / scale, atol=2e-5)
+    np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
