@@ -1,0 +1,13 @@
+from .scoring import (
+    normalize_01,
+    coefficient_map,
+    msp_conf,
+    maxlogit_conf,
+    dissum_conf,
+    background_conf,
+    knn_cosine_conf,
+    rec_cosine_conf,
+    compute_conf,
+    SCORING_METHODS,
+)
+from .evaluator import OODEvaluator, multi_scale_forward

@@ -1,0 +1,169 @@
+"""OOD evaluation driver core (the BASELINE north-star path).
+
+Reproduces ``anomaly/eval_ood_traditional.py:151-653`` with the
+host/device split inverted: the reference runs 5 forward passes on GPU then
+does all scoring in numpy on host; here the multi-scale forward, score
+averaging, anomaly map, argmax and the IoU/accuracy histograms are ONE jitted
+XLA program per pyramid shape-set, and only the conf map (for the host-side
+AUROC threshold sweep) plus a handful of counters are transferred.
+
+Because StreetHazards eval images share one size (720 x 1280), the whole
+1500-image eval compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import (
+    AverageMeter,
+    eval_ood_measure,
+    intersection_and_union_jax,
+)
+from .scoring import compute_conf
+
+
+def multi_scale_forward(model, variables, pyramid, seg_size,
+                        want_ft: bool = True):
+    """Average model scores (and features) over the resized pyramid.
+
+    Each pyramid level is forwarded with ``seg_size`` so the decoder
+    upsamples to label resolution before averaging
+    (eval_ood_traditional.py:198-210).
+    """
+    n = len(pyramid)
+    scores = None
+    ft = None
+    for img in pyramid:
+        out = model.apply(variables, img, seg_size=seg_size)
+        s = out["scores"] if isinstance(out, dict) else out
+        scores = s / n if scores is None else scores + s / n
+        if want_ft and isinstance(out, dict) and "ft" in out:
+            f = out["ft"]
+            ft = f / n if ft is None else ft + f / n
+    return scores, ft
+
+
+class OODEvaluator:
+    """Streaming evaluator with reference-format summaries."""
+
+    def __init__(self, model, variables, *, num_class: int,
+                 method: str = "dissum", out_labels: Sequence[int] = (13,),
+                 exclude_back: bool = False, visualize_dir: Optional[str] = None):
+        self.model = model
+        self.variables = variables
+        self.num_class = num_class
+        self.method = method
+        self.out_labels = tuple(out_labels)
+        self.exclude_back = exclude_back
+        self.visualize_dir = visualize_dir
+        self._compiled = {}
+
+        self.acc_meter = AverageMeter()
+        self.intersection_meter = AverageMeter()
+        self.union_meter = AverageMeter()
+        self.time_meter = AverageMeter()
+        self.aurocs, self.auprs, self.fprs = [], [], []
+
+    # ------------------------------------------------------------------
+    def _eval_fn(self, pyramid_shapes, seg_size):
+        key = (tuple(pyramid_shapes), tuple(seg_size))
+        if key in self._compiled:
+            return self._compiled[key]
+
+        method = self.method
+        exclude_back = self.exclude_back
+        num_class = self.num_class
+        model = self.model
+
+        def fn(variables, pyramid, seg_label):
+            scores, ft = multi_scale_forward(model, variables, pyramid,
+                                             seg_size,
+                                             want_ft=(method == "knn"))
+            scores2d = scores[0]
+            conf = compute_conf(scores2d, method,
+                                ft=None if ft is None else ft[0],
+                                exclude_back=exclude_back,
+                                seg_size=seg_size)
+            pred = jnp.argmax(scores2d, axis=-1).astype(jnp.int32)
+            label = seg_label[0]
+            valid = label >= 0
+            acc_sum = jnp.sum(valid & (pred == label))
+            valid_sum = jnp.sum(valid)
+            inter, union = intersection_and_union_jax(pred, label, num_class)
+            return conf, pred, inter, union, acc_sum, valid_sum
+
+        jitted = jax.jit(fn)
+        self._compiled[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def evaluate_item(self, item: dict):
+        pyramid = [jnp.asarray(lvl) for lvl in item["img_data"]]
+        seg_label = jnp.asarray(item["seg_label"])
+        seg_size = tuple(int(s) for s in seg_label.shape[1:3])
+        fn = self._eval_fn([p.shape for p in pyramid], seg_size)
+
+        tic = time.perf_counter()
+        conf, pred, inter, union, acc_sum, valid_sum = fn(
+            self.variables, pyramid, seg_label)
+        conf = np.asarray(conf)  # blocks; device work complete here
+        self.time_meter.update(time.perf_counter() - tic)
+
+        seg_np = np.asarray(item["seg_label"][0])
+        res = eval_ood_measure(conf, seg_np, out_labels=self.out_labels)
+        if res is not None:
+            auroc, aupr, fpr = res
+            self.aurocs.append(auroc)
+            self.auprs.append(aupr)
+            self.fprs.append(fpr)
+
+        acc = float(acc_sum) / (float(valid_sum) + 1e-10)
+        self.acc_meter.update(acc, int(valid_sum))
+        self.intersection_meter.update(np.asarray(inter))
+        self.union_meter.update(np.asarray(union))
+
+        if self.visualize_dir:
+            from ..utils.visualize import save_result_grid
+            save_result_grid(item["img_ori"], seg_np, np.asarray(pred),
+                             item["info"], self.visualize_dir)
+        return {"conf": conf, "pred": np.asarray(pred), "acc": acc,
+                "ood": res}
+
+    # ------------------------------------------------------------------
+    def evaluate(self, loader, progress: bool = True):
+        for i, item in enumerate(loader):
+            self.evaluate_item(item)
+            if progress and (i + 1) % 10 == 0:
+                print(f"[{i + 1}] running mIoU-free progress", flush=True)
+        return self.summary()
+
+    def summary(self, verbose: bool = True) -> dict:
+        iou = self.intersection_meter.sum / (self.union_meter.sum + 1e-10)
+        result = {
+            "class_iou": iou,
+            "mean_iou": float(iou.mean()),
+            "accuracy": float(self.acc_meter.average()),
+            "inference_time": float(self.time_meter.average()),
+            "auroc": float(np.mean(self.aurocs)) if self.aurocs else None,
+            "aupr": float(np.mean(self.auprs)) if self.auprs else None,
+            "fpr": float(np.mean(self.fprs)) if self.fprs else None,
+        }
+        if verbose:
+            for i, v in enumerate(iou):
+                print("class [{}], IoU: {:.4f}".format(i, v))
+            print("[Eval Summary]:")
+            print("Mean IoU: {:.4f}, Accuracy: {:.2f}%, Inference Time: "
+                  "{:.4f}s".format(result["mean_iou"],
+                                   result["accuracy"] * 100,
+                                   result["inference_time"]))
+            print("mean auroc = ", result["auroc"],
+                  "mean aupr = ", result["aupr"],
+                  " mean fpr = ", result["fpr"])
+        return result

@@ -1,0 +1,148 @@
+"""Per-pixel anomaly (OOD) confidence maps — on-device, jit-able.
+
+Parity target: the scoring branches of
+``anomaly/eval_ood_traditional.py:276-530``. The reference computes these in
+numpy on host after copying full-resolution score tensors back from the GPU;
+here every map is a fused XLA computation on the averaged multi-scale scores
+that never leave the device — only the final H x W conf map (or its metric)
+transfers.
+
+Sign convention (inherited): *lower* conf = more anomalous; the metric layer
+negates (metrics/anom.py eval_ood_measure).
+
+Method notes:
+- ``dissum`` (the paper's DML score, the BASELINE north star): negative sum
+  of distance logits, clipped at 400, min-max normalized
+  (eval_ood_traditional.py:301-305). The sigmoid "Coefficient" fusion with
+  the MSP map is computed at :447-448 but then overridden by
+  ``conf = dis_sum`` at :450 — ``dissum`` reproduces the override (reference
+  behavior), ``dissum_fused`` exposes the computed fusion.
+- ``knn``: sum of cosine similarities between each pixel's feature and its
+  diagonal-shifted neighbors over a 9x9 window (both shift directions,
+  eval_ood_traditional.py:511-530), computed at feature resolution then
+  bilinearly upsampled.
+- ``crf``/``crf-gauss`` require pydensecrf (host-side); gated with a clear
+  error if absent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import bilinear_resize
+
+
+def normalize_01(x):
+    """(x - min) / (max - min)   (Normalizatoin, :101-102)."""
+    mn = jnp.min(x)
+    mx = jnp.max(x)
+    return (x - mn) / (mx - mn)
+
+
+def coefficient_map(x, thre, lamda: float = 50.0):
+    """1 / (1 + exp(lamda * (x - thre)))  (:104-106)."""
+    return 1.0 / (1.0 + jnp.exp(lamda * (x - thre)))
+
+
+def _exclude_back(scores, exclude_back: bool):
+    return scores[..., 1:] if exclude_back else scores
+
+
+def msp_conf(scores, exclude_back: bool = False):
+    """Max softmax probability (:276-278). scores: (H, W, K)."""
+    s = _exclude_back(scores, exclude_back)
+    return jnp.max(jax.nn.softmax(s, axis=-1), axis=-1)
+
+
+def maxlogit_conf(scores, exclude_back: bool = False):
+    """Max raw logit (:288-290)."""
+    return jnp.max(_exclude_back(scores, exclude_back), axis=-1)
+
+
+def dissum_conf(scores, exclude_back: bool = False, clip: float = 400.0,
+                fused: bool = False):
+    """Clipped + min-max-normalized negative logit sum (:301-305, :450)."""
+    s = _exclude_back(scores, exclude_back)
+    dis_sum = -jnp.sum(s, axis=-1)
+    dis_sum = jnp.minimum(dis_sum, clip)
+    dis_sum = normalize_01(dis_sum)
+    if not fused:
+        return dis_sum
+    prob_map = normalize_01(jnp.max(jax.nn.softmax(s, axis=-1), axis=-1))
+    coeff = coefficient_map(dis_sum, 0.2)
+    return coeff * dis_sum + (1 - coeff) * prob_map
+
+
+def background_conf(scores, exclude_back: bool = False):
+    """Class-0 score as confidence (:468-470)."""
+    return scores[..., 0]
+
+
+def knn_cosine_conf(ft, seg_size=None, neighbor_size: int = 9,
+                    eps: float = 1e-8):
+    """Neighborhood cosine-similarity map (:511-530).
+
+    ft: (H, W, C) feature map. For every (dh, dw) in
+    [1, neighbor_size) x [1, neighbor_size), adds cos(f[p], f[p + (dh, dw)])
+    and cos(f[p], f[p - (dh, dw)]), where out-of-bounds neighbors are the
+    zero vector (cos = 0), reproducing the reference's zero-padded shifts.
+    """
+    h, w, _ = ft.shape
+    norm = jnp.sqrt(jnp.sum(ft * ft, axis=-1))
+
+    out = jnp.zeros((h, w), ft.dtype)
+    for dh in range(1, neighbor_size):
+        for dw in range(1, neighbor_size):
+            # shifted_ft[:, :h-dh, :w-dw] = ft[dh:, dw:]  (forward shift)
+            dot_f = jnp.sum(ft[: h - dh, : w - dw] * ft[dh:, dw:], axis=-1)
+            cos_f = dot_f / jnp.maximum(norm[: h - dh, : w - dw]
+                                        * norm[dh:, dw:], eps)
+            out = out.at[: h - dh, : w - dw].add(cos_f)
+            # shifted_ft[:, dh:, dw:] = ft[:h-dh, :w-dw]  (backward shift)
+            out = out.at[dh:, dw:].add(cos_f)
+    if seg_size is not None:
+        out = bilinear_resize(out[None, :, :, None], seg_size)[0, :, :, 0]
+    return out
+
+
+def rec_cosine_conf(msp, ft_orig, ft_rec, msp_threshold: float = 0.999,
+                    eps: float = 1e-8):
+    """Reconstruction scoring (eval_ood_rec.py:140-153): where MSP is
+    confident keep it, elsewhere use cosine similarity between normalized
+    original and reconstructed feature maps."""
+    dot = jnp.sum(ft_orig * ft_rec, axis=-1)
+    n1 = jnp.sqrt(jnp.sum(ft_orig * ft_orig, axis=-1))
+    n2 = jnp.sqrt(jnp.sum(ft_rec * ft_rec, axis=-1))
+    cos = dot / jnp.maximum(n1 * n2, eps)
+    return jnp.where(msp > msp_threshold, msp, cos)
+
+
+SCORING_METHODS = ("msp", "maxlogit", "dissum", "dissum_fused", "background",
+                   "knn", "crf", "crf-gauss")
+
+
+def compute_conf(scores, method: str, *, ft=None, exclude_back: bool = False,
+                 seg_size=None):
+    """Dispatch on the OOD.ood config value. ``scores``: (H, W, K) averaged
+    multi-scale scores at label resolution; ``ft``: feature map for knn."""
+    if method == "msp":
+        return msp_conf(scores, exclude_back)
+    if method == "maxlogit":
+        return maxlogit_conf(scores, exclude_back)
+    if method == "dissum":
+        return dissum_conf(scores, exclude_back)
+    if method == "dissum_fused":
+        return dissum_conf(scores, exclude_back, fused=True)
+    if method == "background":
+        return background_conf(scores, exclude_back)
+    if method == "knn":
+        assert ft is not None, "knn scoring needs the feature map"
+        return knn_cosine_conf(ft, seg_size=seg_size)
+    if method in ("crf", "crf-gauss"):
+        raise NotImplementedError(
+            "CRF scoring requires pydensecrf (host-side); use "
+            "openset.crf.crf_conf explicitly")
+    raise ValueError(f"unknown OOD method {method}")

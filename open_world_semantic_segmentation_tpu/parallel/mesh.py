@@ -1,0 +1,59 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              devices=None) -> Mesh:
+    """1-D data-parallel mesh over (the first n) available devices.
+
+    The reference's only parallelism axis is data (SURVEY §2); a 1-D mesh
+    over ICI is the TPU-native equivalent. Extend with more axes (e.g.
+    ('data', 'model')) when spatial/model partitioning is introduced.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Batch-dim sharding: first array axis split across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """device_put a host batch with its leading axis split over the mesh."""
+    sh = data_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """device_put a pytree fully replicated over the mesh (params, state)."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_index_space(num_samples: int, num_hosts: int, host_id: int,
+                      *, shuffle_seed: Optional[int] = None):
+    """Per-host contiguous shard of the sample index space (replaces
+    DistributedSampler). With a seed, a deterministic epoch permutation is
+    applied before sharding so all hosts agree on the global order."""
+    idx = np.arange(num_samples)
+    if shuffle_seed is not None:
+        idx = np.random.default_rng(shuffle_seed).permutation(idx)
+    per_host = (num_samples + num_hosts - 1) // num_hosts
+    pad = per_host * num_hosts - num_samples
+    if pad:
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx[host_id * per_host:(host_id + 1) * per_host]

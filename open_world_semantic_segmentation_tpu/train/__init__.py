@@ -13,3 +13,7 @@ from .optim import (
     two_group_optimizer,
     backbone_classifier_optimizer,
 )
+from .state import TrainState, make_anomaly_train_step, make_deeplab_train_step
+from .checkpoint import save_checkpoint, load_checkpoint
+from . import convert
+

