@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Flagship benchmark: StreetHazards OOD eval throughput on one chip.
+
+Measures BASELINE.json config #1 — the full per-image pipeline of
+``anomaly/eval_ood_traditional.py --ood dissum``: 5-scale forward of the
+CSAIL ResNet-50-dilated + PPM-embedding model on a 720x1280 image, scores
+averaged at label resolution, dissum anomaly map + argmax — everything one
+jitted XLA program per scale set (bf16 compute, fp32 params).
+
+Prints ONE JSON line:
+  {"metric": "streethazards_ood_eval", "value": imgs/sec, "unit":
+   "imgs/sec/chip", "vs_baseline": value / V100_BASELINE}
+
+``V100_BASELINE``: the reference repo publishes no numbers (BASELINE.md); we
+use 1.25 imgs/sec — an optimistic estimate for the reference's 5-scale
+720p PSPNet-50 forward + host-side numpy scoring on one V100 (its printed
+"Inference Time" per image is ~0.8 s there). The ">= 5x V100" target from
+BASELINE.json therefore corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_IMGS_PER_SEC = 1.25
+FULL_SIZE = (720, 1280)
+# eval pyramid of data/odgt.py for a 720x1280 source, imgSizes (300..600),
+# imgMaxSize 1000, padding 8
+PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.openset.scoring import (
+        dissum_conf,
+    )
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet50dilated", "ppm_deepsup_embedding", num_class=13,
+        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    init_img = jnp.zeros((1, *PYRAMID[0], 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), init_img)
+
+    def eval_image(variables, pyramid):
+        scores = None
+        for img in pyramid:
+            out = model.apply(variables, img, seg_size=FULL_SIZE)
+            s = out["scores"].astype(jnp.float32)
+            scores = s if scores is None else scores + s
+        scores = scores[0] / len(pyramid)
+        conf = dissum_conf(scores)
+        pred = jnp.argmax(scores, axis=-1)
+        # scalar fences: float(...) forces real device completion — over the
+        # axon tunnel, block_until_ready returns before execution finishes,
+        # so a 4-byte readback is the only honest sync
+        return jnp.sum(pred), jnp.nansum(conf)
+
+    fn = jax.jit(eval_image)
+    pyramid = [jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+               for h, w in PYRAMID]
+
+    # warmup / compile
+    p, c = fn(variables, pyramid)
+    float(c), int(p)
+
+    n_iters = 10
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        p, c = fn(variables, pyramid)
+        float(c)  # per-image sync, as the reference's cuda.synchronize
+    dt = (time.perf_counter() - tic) / n_iters
+
+    imgs_per_sec = 1.0 / dt
+    print(json.dumps({
+        "metric": "streethazards_ood_eval",
+        "value": round(imgs_per_sec, 4),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / V100_BASELINE_IMGS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
