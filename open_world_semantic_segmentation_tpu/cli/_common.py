@@ -1,0 +1,70 @@
+"""Shared CLI plumbing for the driver scripts."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, load_config
+
+
+def config_parser(description: str) -> argparse.ArgumentParser:
+    """yacs-style CLI: --cfg preset.yaml plus trailing KEY VALUE pairs
+    (anomaly/train.py:213-241 surface)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--cfg", metavar="FILE", default=None,
+                   help="path to a YAML config preset")
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16",
+                   help="compute dtype (params stay fp32)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None,
+                   help="config overrides: SECTION.key value ...")
+    return p
+
+
+def parse_config(args) -> Config:
+    return load_config(args.cfg, args.opts or ())
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+
+
+def build_anomaly_model(cfg: Config, *, train: bool, use_softmax: bool,
+                        dtype):
+    from ..models import ModelBuilder
+
+    return ModelBuilder.build_segmentation_model(
+        cfg.MODEL.arch_encoder, cfg.MODEL.arch_decoder,
+        num_class=cfg.DATASET.num_class, fc_dim=cfg.MODEL.fc_dim,
+        use_softmax=use_softmax, train=train, dtype=dtype)
+
+
+def init_or_load_variables(cfg: Config, model, example_img, *,
+                           rng_seed: int = 0):
+    """Init params; if MODEL.weights_encoder/decoder point at .pth files,
+    convert and load them (the published reference checkpoints)."""
+    variables = model.init(jax.random.PRNGKey(rng_seed), example_img)
+    enc_w, dec_w = cfg.MODEL.weights_encoder, cfg.MODEL.weights_decoder
+    if enc_w or dec_w:
+        from ..train import convert as tc
+
+        if enc_w and dec_w and enc_w.endswith(".pth"):
+            conv = tc.convert_segmentation_model(
+                tc.load_torch_checkpoint(enc_w),
+                tc.load_torch_checkpoint(dec_w))
+            variables = {"params": conv["params"],
+                         "batch_stats": conv["batch_stats"]}
+        elif enc_w.endswith(".pkl") or dec_w.endswith(".pkl"):
+            from ..train import load_checkpoint
+
+            variables, _ = load_checkpoint(enc_w or dec_w, target=variables)
+    return variables
+
+
+def epoch_checkpoint_path(cfg: Config, kind: str, epoch: int) -> str:
+    os.makedirs(cfg.DIR, exist_ok=True)
+    return os.path.join(cfg.DIR, f"{kind}_epoch_{epoch}.pkl")

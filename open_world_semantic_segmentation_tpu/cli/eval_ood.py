@@ -1,0 +1,58 @@
+"""Open-set (OOD) evaluation (anomaly/eval_ood_traditional.py).
+
+Usage:
+  python -m open_world_semantic_segmentation_tpu.cli.eval_ood \
+      --cfg configs/test_ood_street.yaml OOD.ood dissum
+
+Prints per-class IoU, mean IoU / accuracy / mean inference time, and the
+mean per-image AUROC / AUPR / FPR95 in the reference's format
+(eval_ood_traditional.py:634-641).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from ._common import (
+    build_anomaly_model,
+    compute_dtype,
+    config_parser,
+    init_or_load_variables,
+    parse_config,
+)
+from ..data import ValPipeline
+from ..openset import OODEvaluator
+
+
+def main(cfg, precision_dtype=jnp.float32, max_images=None):
+    model = build_anomaly_model(cfg, train=False, use_softmax=True,
+                                dtype=precision_dtype)
+    example = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = init_or_load_variables(cfg, model, example)
+
+    pipeline = ValPipeline(
+        cfg.DATASET.root_dataset, cfg.DATASET.list_val,
+        img_sizes=cfg.DATASET.imgSizes,
+        img_max_size=cfg.DATASET.imgMaxSize,
+        padding_constant=cfg.DATASET.padding_constant,
+        max_sample=max_images or -1)
+
+    evaluator = OODEvaluator(
+        model, variables,
+        num_class=cfg.DATASET.num_class,
+        method=cfg.OOD.ood,
+        out_labels=cfg.OOD.out_labels,
+        exclude_back=cfg.OOD.exclude_back,
+        visualize_dir=os.path.join(cfg.DIR, "result")
+        if cfg.VAL.visualize else None)
+    result = evaluator.evaluate(pipeline, progress=False)
+    print("Evaluation Done!")
+    return result
+
+
+if __name__ == "__main__":
+    args = config_parser(__doc__).parse_args()
+    cfg = parse_config(args)
+    main(cfg, compute_dtype(args))

@@ -19,6 +19,7 @@ This package replaces the reference's entire parallel runtime:
 """
 
 from .mesh import (
+    make_mesh_for_batch,
     make_mesh,
     data_sharding,
     replicated_sharding,

@@ -23,6 +23,17 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data",
+                        devices=None) -> Mesh:
+    """Data mesh over the largest device count that divides ``batch_size``
+    (a batch of 2 on an 8-device host uses 2 devices, not a crash)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Batch-dim sharding: first array axis split across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -1,0 +1,174 @@
+"""End-to-end driver tests on tiny synthetic datasets (CPU, tiny models)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_streethazards, make_cityscapes  # noqa
+
+from open_world_semantic_segmentation_tpu.core.config import Config
+
+
+@pytest.fixture(scope="module")
+def sh_root(tmp_path_factory):
+    return make_streethazards(
+        str(tmp_path_factory.mktemp("sh")), n_train=4, n_val=2, h=48, w=64)
+
+
+@pytest.fixture(scope="module")
+def cs_root(tmp_path_factory):
+    return make_cityscapes(
+        str(tmp_path_factory.mktemp("cs")), n=3, h=64, w=96)
+
+
+def _anomaly_cfg(sh_root, tmp_path):
+    cfg = Config()
+    cfg.DIR = str(tmp_path / "ckpt")
+    cfg.DATASET.root_dataset = sh_root
+    cfg.DATASET.list_train = os.path.join(sh_root, "train.odgt")
+    cfg.DATASET.list_val = os.path.join(sh_root, "val.odgt")
+    cfg.DATASET.num_class = 13
+    cfg.DATASET.imgSizes = (24, 32)
+    cfg.DATASET.imgMaxSize = 80
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.TRAIN.batch_size_per_gpu = 2
+    cfg.TRAIN.num_epoch = 1
+    cfg.TRAIN.epoch_iters = 3
+    cfg.TRAIN.disp_iter = 2
+    return cfg
+
+
+def test_train_embedding_then_eval_ood(sh_root, tmp_path, capsys):
+    from open_world_semantic_segmentation_tpu.cli import train_embedding
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    state = train_embedding.main(cfg, jnp.float32, max_steps=3)
+    assert int(state.step) == 3
+    ckpt = os.path.join(cfg.DIR, "model_epoch_1.pkl")
+    assert os.path.exists(ckpt)
+
+    # eval from the saved checkpoint
+    cfg2 = cfg.clone()
+    cfg2.DATASET.root_dataset = sh_root
+    cfg2.MODEL.weights_encoder = ckpt.replace(".pth", ".pkl")
+    cfg2.OOD.ood = "dissum"
+    result = eval_ood.main(cfg2, jnp.float32, max_images=2)
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out and "mean auroc" in out
+    assert result["auroc"] is not None
+
+
+def test_eval_ood_all_methods(sh_root, tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    for method in ("msp", "maxlogit", "background", "knn"):
+        cfg = _anomaly_cfg(sh_root, tmp_path)
+        cfg.OOD.ood = method
+        result = eval_ood.main(cfg, jnp.float32, max_images=1)
+        assert result["mean_iou"] >= 0.0
+
+
+def test_test_closed_saves_pngs(sh_root, tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import test_closed
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    cfg.MODEL.arch_decoder = "ppm_deepsup"
+    cfg.TEST.result = str(tmp_path / "results")
+    test_closed.main(cfg, jnp.float32, max_images=1)
+    saved = []
+    for root, _, files in os.walk(cfg.TEST.result):
+        saved += [f for f in files if f.endswith(".png")]
+    assert saved
+
+
+def _deeplab_cfg(cs_root, tmp_path):
+    cfg = Config()
+    cfg.DIR = str(tmp_path / "dl")
+    cfg.DATASET.root_dataset = cs_root
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.num_classes = 16
+    cfg.DEEPLAB.crop_size = 32
+    cfg.DEEPLAB.batch_size = 2
+    cfg.DEEPLAB.total_itrs = 3
+    cfg.DEEPLAB.val_interval = 3
+    cfg.FEWSHOT.novel_cls = 1
+    return cfg
+
+
+def test_main_deeplab_train_and_validate(cs_root, tmp_path, capsys):
+    from open_world_semantic_segmentation_tpu.cli import main_deeplab
+
+    cfg = _deeplab_cfg(cs_root, tmp_path)
+    # embedding model so the open-world remap is active
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet101"
+    state = main_deeplab.main(cfg, jnp.float32, max_steps=3)
+    assert int(state.step) == 3
+    assert os.path.exists(os.path.join(cfg.DIR, "latest.pkl"))
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out
+
+
+def test_self_distillation_train_and_eval(cs_root, tmp_path, capsys):
+    from open_world_semantic_segmentation_tpu.cli import self_distillation
+
+    cfg = _deeplab_cfg(cs_root, tmp_path)
+    cfg.DEEPLAB.total_itrs = 2
+    cfg.FEWSHOT.shots = 0  # use train split
+    state = self_distillation.main(cfg, jnp.float32, mode="train",
+                                   max_steps=2)
+    score = self_distillation.main(
+        cfg, jnp.float32, mode="eval", max_images=2,
+        variables={"params": state.params,
+                   "batch_stats": state.batch_stats})
+    assert 0.0 <= score["Mean IoU"] <= 1.0
+
+
+def test_extract_prototypes_and_npm_eval(cs_root, tmp_path, capsys):
+    from open_world_semantic_segmentation_tpu.cli import (
+        extract_prototypes, eval_embedding)
+
+    cfg = _deeplab_cfg(cs_root, tmp_path)
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet101"
+    cfg.FEWSHOT.shots = 2
+    cfg.FEWSHOT.prototype_file = str(tmp_path / "prototype_car_2_shot.json")
+    protos = extract_prototypes.main(cfg, jnp.float32, novel_true_id=13)
+    assert len(protos) >= 1
+    with open(cfg.FEWSHOT.prototype_file) as f:
+        assert len(json.load(f)) == len(protos)
+
+    score = eval_embedding.main(cfg, jnp.float32, max_images=2)
+    assert 0.0 <= score["Mean IoU"] <= 1.0
+
+
+def test_make_odgt_streethazards(sh_root, tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import make_odgt
+
+    make_odgt.main(["streethazards", "--root", sh_root,
+                    "--img-dir", "images/test", "--ann-dir",
+                    "annotations/test", "--out", "rebuilt.odgt"])
+    with open(os.path.join(sh_root, "rebuilt.odgt")) as f:
+        records = json.load(f)
+    assert len(records) == 2  # n_val synthetic test images
+    assert {"fpath_img", "fpath_segm", "height", "width"} <= set(records[0])
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    import yaml
+
+    from open_world_semantic_segmentation_tpu.core.config import load_config
+
+    cfg = load_config("configs/train_embedding.yaml",
+                      ["TRAIN.num_epoch", "5", "OOD.ood", "dissum"])
+    assert cfg.DATASET.num_class == 13
+    assert cfg.DATASET.imgSizes == (300, 375, 450, 525, 600)
+    assert cfg.TRAIN.num_epoch == 5
+    assert cfg.OOD.ood == "dissum"
+    assert cfg.TRAIN.weight_decay == 1e-4  # "1e-4" string coerced to float
