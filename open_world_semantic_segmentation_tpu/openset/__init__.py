@@ -11,3 +11,4 @@ from .scoring import (
     SCORING_METHODS,
 )
 from .evaluator import OODEvaluator, multi_scale_forward
+from .fishyscapes import make_estimator, run_bdlb

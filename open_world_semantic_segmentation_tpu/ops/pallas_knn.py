@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: neighborhood cosine-similarity (KNN OOD scoring).
+
+The reference computes this score with 2*(k-1)^2 = 128 full-map shifted
+cosine passes (eval_ood_traditional.py:511-530); the jnp port in
+``openset/scoring.py`` mirrors that structure and reads the feature map
+~256 times from HBM. This kernel tiles the map into VMEM with a
+(k-1)-pixel halo and computes every diagonal shift from VMEM — one HBM read
+of the features per tile.
+
+Design:
+- features are L2-normalized once on the caller side (zero vectors stay
+  zero), so each shifted cosine is a plain dot product (pure VPU work) and
+  the reference's zero-padded out-of-bounds semantics fall out for free:
+  contributions from the zero pad are zero;
+- layout is channels-first (C, H, W) so the VMEM tile's lane dimension is
+  the wide W axis (128-aligned) instead of the tiny class dimension;
+- the halo'd window is DMA'd from HBM (input kept in ANY memory space)
+  because overlapping tiles are not expressible with disjoint BlockSpecs;
+  all in-tile shift offsets are Python constants -> static slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(hbm_ref, out_ref, scratch, sem, *, halo, th, tw, c):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bh = th + 2 * halo
+    bw = tw + 2 * halo
+    copy = pltpu.make_async_copy(
+        hbm_ref.at[:, pl.ds(i * th, bh), pl.ds(j * tw, bw)], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    center = scratch[:, halo:halo + th, halo:halo + tw]
+    acc = jnp.zeros((th, tw), jnp.float32)
+    for dh in range(1, halo + 1):
+        for dw in range(1, halo + 1):
+            fwd = scratch[:, halo + dh:halo + dh + th,
+                          halo + dw:halo + dw + tw]
+            bwd = scratch[:, halo - dh:halo - dh + th,
+                          halo - dw:halo - dw + tw]
+            acc = acc + jnp.sum(center * fwd, axis=0)
+            acc = acc + jnp.sum(center * bwd, axis=0)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("neighbor_size", "tile", "interpret"))
+def knn_cosine_pallas(ft, neighbor_size: int = 9, tile=(64, 128),
+                      interpret: bool = False, eps: float = 1e-8):
+    """Drop-in replacement for ``scoring.knn_cosine_conf`` (same output).
+
+    ft: (H, W, C) float -> (H, W) float32 cosine-sum map.
+    """
+    h, w, c = ft.shape
+    halo = neighbor_size - 1
+    th = min(tile[0], -(-h // 8) * 8)
+    tw = min(tile[1], -(-w // 128) * 128)
+
+    norm = jnp.sqrt(jnp.sum(ft * ft, axis=-1, keepdims=True))
+    fn = (ft / jnp.maximum(norm, eps)).astype(jnp.float32)
+
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    fcz = jnp.transpose(fn, (2, 0, 1))  # (C, H, W)
+    fpad = jnp.pad(fcz, ((0, 0), (halo, halo + (hp - h)),
+                         (halo, halo + (wp - w))))
+
+    grid = (hp // th, wp // tw)
+    kernel = functools.partial(_knn_kernel, halo=halo, th=th, tw=tw, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, th + 2 * halo, tw + 2 * halo), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(fpad)
+    return out[:h, :w]

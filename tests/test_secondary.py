@@ -1,0 +1,161 @@
+"""Tests for secondary surface: VOC, pick_images, demo_video, distillation,
+reconstruction OOD, observability, fishyscapes estimator."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_streethazards, make_cityscapes  # noqa
+
+from open_world_semantic_segmentation_tpu.core.config import Config
+
+
+def _make_voc(root, n=3, h=40, w=56):
+    rng = np.random.default_rng(0)
+    voc = os.path.join(root, "VOCdevkit", "VOC2012")
+    os.makedirs(os.path.join(voc, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "SegmentationClass"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "ImageSets", "Segmentation"), exist_ok=True)
+    names = [f"2007_{i:06d}" for i in range(n)]
+    for name in names:
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        lab = rng.integers(0, 21, (h, w), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(voc, "JPEGImages",
+                                               name + ".jpg"))
+        Image.fromarray(lab, "L").save(
+            os.path.join(voc, "SegmentationClass", name + ".png"))
+    with open(os.path.join(voc, "ImageSets", "Segmentation", "train.txt"),
+              "w") as f:
+        f.write("\n".join(names))
+    return root
+
+
+def test_voc_dataset(tmp_path):
+    from open_world_semantic_segmentation_tpu.data import VOCSegmentation
+    from open_world_semantic_segmentation_tpu.data import transforms as et
+
+    root = _make_voc(str(tmp_path))
+    tf = et.ExtCompose([et.ExtRandomScale((0.5, 2.0)),
+                        et.ExtRandomCrop(size=(33, 33), pad_if_needed=True),
+                        et.ExtRandomHorizontalFlip(),
+                        et.ExtToTensor(), et.ExtNormalize()])
+    ds = VOCSegmentation(root, image_set="train", transform=tf)
+    assert len(ds) == 3
+    img, target, _ = ds[0]
+    assert img.shape == (33, 33, 3)
+    assert target.shape == (33, 33)
+    # cmap shape
+    assert VOCSegmentation.decode_target(target).shape == (33, 33, 3)
+
+
+def test_pick_images_creates_split(tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import pick_images
+
+    root = make_cityscapes(str(tmp_path / "cs"), n=3)
+    pick_images.main(["--root", root, "--src", "train", "--dst", "car_2",
+                      "--n", "2", "--copy"])
+    new_imgs = []
+    for city in os.listdir(os.path.join(root, "leftImg8bit", "car_2")):
+        new_imgs += os.listdir(os.path.join(root, "leftImg8bit", "car_2",
+                                            city))
+    assert len(new_imgs) == 2
+
+
+def test_demo_video_overlay_and_live(tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import demo_video
+
+    root = make_cityscapes(str(tmp_path / "cs"), splits=("demo_video",),
+                           n=2, h=48, w=64)
+    cfg = Config()
+    cfg.DATASET.root_dataset = root
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.num_classes = 19
+
+    # overlay mode from saved preds
+    preds_dir = str(tmp_path / "preds")
+    os.makedirs(preds_dir, exist_ok=True)
+    ds_imgs = os.path.join(root, "leftImg8bit", "demo_video", "synthcity")
+    for f in os.listdir(ds_imgs):
+        pred = np.random.default_rng(0).integers(0, 19, (48, 64),
+                                                 dtype=np.uint8)
+        Image.fromarray(pred, "L").save(os.path.join(preds_dir, f))
+    out = str(tmp_path / "demo.avi")
+    demo_video.overlay_mode(cfg, preds_dir, out, max_frames=2)
+    assert os.path.exists(out) or os.path.isdir(out + ".frames")
+
+    # live mode with a random-init model
+    seq = demo_video.live_mode(cfg, str(tmp_path / "live.avi"), jnp.float32,
+                               max_frames=1)
+    assert len(os.listdir(seq)) == 1
+
+
+def test_main_distillation_runs(tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import main_distillation
+
+    root = make_cityscapes(str(tmp_path / "cs"), n=3, h=64, w=96)
+    cfg = Config()
+    cfg.DIR = str(tmp_path / "ckpt")
+    cfg.DATASET.root_dataset = root
+    cfg.DEEPLAB.num_classes = 16
+    cfg.DEEPLAB.crop_size = 32
+    cfg.DEEPLAB.batch_size = 2
+    cfg.DEEPLAB.total_itrs = 2
+    cfg.FEWSHOT.shots = 0
+    state = main_distillation.main(cfg, jnp.float32, max_steps=2)
+    assert int(state.step) == 2
+    assert os.path.exists(os.path.join(cfg.DIR, "distillation_student.pkl"))
+
+
+def test_eval_ood_rec_runs(tmp_path, capsys):
+    from open_world_semantic_segmentation_tpu.cli import eval_ood_rec
+
+    root = make_streethazards(str(tmp_path / "sh"), n_val=2, h=48, w=64)
+    # reconstructed images: reuse the same folder structure
+    cfg = Config()
+    cfg.DATASET.root_dataset = root
+    cfg.DATASET.rec_dataset = os.path.join(root, "images", "test")
+    cfg.DATASET.list_val = os.path.join(root, "val.odgt")
+    cfg.DATASET.num_class = 13
+    cfg.DATASET.imgSizes = (24, 32)
+    cfg.DATASET.imgMaxSize = 80
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup"
+    cfg.MODEL.fc_dim = 512
+    result = eval_ood_rec.main(cfg, jnp.float32, max_images=2)
+    assert result["auroc"] is not None
+
+
+def test_metrics_writer(tmp_path):
+    from open_world_semantic_segmentation_tpu.utils import MetricsWriter
+
+    p = str(tmp_path / "m" / "metrics.jsonl")
+    with MetricsWriter(p) as w:
+        w.write(1, loss=0.5, acc=np.float32(0.25))
+        w.write(2, loss=0.4)
+    lines = [json.loads(x) for x in open(p)]
+    assert lines[0]["loss"] == 0.5 and lines[0]["acc"] == 0.25
+    assert lines[1]["step"] == 2
+
+
+def test_fishyscapes_estimator(tmp_path):
+    import jax
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.openset import make_estimator
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)))
+    est = make_estimator(model, variables, method="entropy")
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3),
+                                            dtype=np.uint8)
+    score = est(img)
+    # scores at feature resolution (no seg_size given -> stride 8)
+    assert score.shape == (4, 4)
+    assert np.isfinite(score).all()
