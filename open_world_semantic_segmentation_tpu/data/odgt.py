@@ -83,7 +83,15 @@ class TrainPipeline:
                  img_sizes=(300, 375, 450, 525, 600), img_max_size=1000,
                  padding_constant=8, segm_downsampling_rate=8,
                  random_flip=True, rec_dataset: Optional[str] = None,
-                 seed: int = 304, num_replicas: int = 1):
+                 seed: int = 304, num_replicas: int = 1,
+                 use_native: bool = True):
+        # use_native: threaded C++ resample+normalize (native/image_ops.cpp);
+        # matches PIL within uint8 quantization — fine for training, switch
+        # off for bit-parity input reproduction
+        from . import native as native_ops
+
+        self.native = native_ops if (use_native and native_ops.available()) \
+            else None
         self.root = root_dataset
         self.records = parse_odgt(odgt)
         self.batch_per_gpu = batch_per_gpu
@@ -153,18 +161,33 @@ class TrainPipeline:
             if self.random_flip and self.rng.choice([0, 1]):
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
-            img = imresize(img, (widths[i], heights[i]), "bilinear")
-            segm = imresize(segm, (widths[i], heights[i]), "nearest")
 
-            sw = round2nearest_multiple(segm.size[0], self.segm_down)
-            sh = round2nearest_multiple(segm.size[1], self.segm_down)
-            canvas = Image.new("L", (sw, sh), 0)
-            canvas.paste(segm, (0, 0))
-            segm = imresize(canvas, (sw // self.segm_down,
-                                     sh // self.segm_down), "nearest")
+            if self.native is not None:
+                arr = self.native.resize_normalize(
+                    np.asarray(img), (int(heights[i]), int(widths[i])))
+                seg_full = self.native.resize_label(
+                    np.asarray(segm), (int(heights[i]), int(widths[i])),
+                    offset=0)
+                sw = round2nearest_multiple(int(widths[i]), self.segm_down)
+                sh = round2nearest_multiple(int(heights[i]), self.segm_down)
+                canvas = np.zeros((sh, sw), np.uint8)
+                canvas[:seg_full.shape[0], :seg_full.shape[1]] = \
+                    seg_full.astype(np.uint8)
+                seg = self.native.resize_label(
+                    canvas, (sh // self.segm_down, sw // self.segm_down),
+                    offset=-1)
+            else:
+                img = imresize(img, (widths[i], heights[i]), "bilinear")
+                segm = imresize(segm, (widths[i], heights[i]), "nearest")
 
-            arr = img_transform(img)
-            seg = segm_transform(segm)
+                sw = round2nearest_multiple(segm.size[0], self.segm_down)
+                sh = round2nearest_multiple(segm.size[1], self.segm_down)
+                canvas = Image.new("L", (sw, sh), 0)
+                canvas.paste(segm, (0, 0))
+                segm = imresize(canvas, (sw // self.segm_down,
+                                         sh // self.segm_down), "nearest")
+                arr = img_transform(img)
+                seg = segm_transform(segm)
             imgs[i, :arr.shape[0], :arr.shape[1]] = arr
             segs[i, :seg.shape[0], :seg.shape[1]] = seg
 
@@ -178,7 +201,13 @@ class ValPipeline:
                  img_sizes=(300, 375, 450, 525, 600), img_max_size=1000,
                  padding_constant=8, rec_dataset: Optional[str] = None,
                  max_sample: int = -1, start_idx: int = -1,
-                 end_idx: int = -1):
+                 end_idx: int = -1, use_native: bool = False):
+        # use_native defaults OFF here: eval metric bit-parity requires the
+        # exact PIL resample (native matches within uint8 quantization only)
+        from . import native as native_ops
+
+        self.native = native_ops if (use_native and native_ops.available()) \
+            else None
         self.root = root_dataset
         self.records = parse_odgt(odgt, max_sample, start_idx, end_idx)
         self.img_sizes = tuple(img_sizes)
@@ -211,8 +240,13 @@ class ValPipeline:
                                         self.padding_constant)
             th = round2nearest_multiple(int(oh * scale),
                                         self.padding_constant)
-            resized = imresize(img, (tw, th), "bilinear")
-            pyramid.append(img_transform(resized)[None])
+            if self.native is not None:
+                pyramid.append(
+                    self.native.resize_normalize(np.asarray(img),
+                                                 (th, tw))[None])
+            else:
+                resized = imresize(img, (tw, th), "bilinear")
+                pyramid.append(img_transform(resized)[None])
 
         return {
             "img_ori": np.array(img),

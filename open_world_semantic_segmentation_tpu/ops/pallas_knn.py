@@ -29,27 +29,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 def _knn_kernel(hbm_ref, out_ref, scratch, sem, *, halo, th, tw, c):
+    """Roll-based formulation: Mosaic supports lane/sublane rotations but not
+    arbitrary-offset strided VMEM slices, so every diagonal shift is a pair
+    of ``pltpu.roll``s on the full block; wrapped rows/cols land strictly in
+    the slack (halo/alignment padding >= max shift) so no masking is needed,
+    and only the block's center is written out. The DMA window is rounded up
+    to the (8, 128) tiling so HBM slices stay aligned."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    bh = th + 2 * halo
-    bw = tw + 2 * halo
+    bh = _round_up(th + 2 * halo, 8)
+    bw = _round_up(tw + 2 * halo, 128)
     copy = pltpu.make_async_copy(
         hbm_ref.at[:, pl.ds(i * th, bh), pl.ds(j * tw, bw)], scratch, sem)
     copy.start()
     copy.wait()
 
-    center = scratch[:, halo:halo + th, halo:halo + tw]
-    acc = jnp.zeros((th, tw), jnp.float32)
+    block = scratch[...]  # (c, bh, bw)
+    acc = jnp.zeros((bh, bw), jnp.float32)
     for dh in range(1, halo + 1):
         for dw in range(1, halo + 1):
-            fwd = scratch[:, halo + dh:halo + dh + th,
-                          halo + dw:halo + dw + tw]
-            bwd = scratch[:, halo - dh:halo - dh + th,
-                          halo - dw:halo - dw + tw]
-            acc = acc + jnp.sum(center * fwd, axis=0)
-            acc = acc + jnp.sum(center * bwd, axis=0)
-    out_ref[...] = acc
+            # pltpu.roll requires non-negative shifts: -d == size - d
+            fwd = pltpu.roll(pltpu.roll(block, bh - dh, 1), bw - dw, 2)
+            bwd = pltpu.roll(pltpu.roll(block, dh, 1), dw, 2)
+            acc = acc + jnp.sum(block * (fwd + bwd), axis=0)
+    out_ref[...] = jax.lax.slice(acc, (halo, halo), (halo + th, halo + tw))
 
 
 @functools.partial(jax.jit,
@@ -70,21 +78,25 @@ def knn_cosine_pallas(ft, neighbor_size: int = 9, tile=(64, 128),
 
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
+    bh = _round_up(th + 2 * halo, 8)
+    bw = _round_up(tw + 2 * halo, 128)
     fcz = jnp.transpose(fn, (2, 0, 1))  # (C, H, W)
-    fpad = jnp.pad(fcz, ((0, 0), (halo, halo + (hp - h)),
-                         (halo, halo + (wp - w))))
+    # leading halo, trailing pad covers both the tile rounding and the
+    # aligned DMA window overhang
+    fpad = jnp.pad(fcz, ((0, 0), (halo, (hp - h) + bh),
+                         (halo, (wp - w) + bw)))
 
     grid = (hp // th, wp // tw)
     kernel = functools.partial(_knn_kernel, halo=halo, th=th, tw=tw, c=c)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 2 * halo, tw + 2 * halo), jnp.float32),
+            pltpu.VMEM((c, bh, bw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -77,3 +77,38 @@ def bilinear_resize(x, size, *, channel_last: bool = True):
 def resize_like_torch(x, size):
     """Alias for NHWC bilinear resize (reference-parity entry point)."""
     return bilinear_resize(x, size, channel_last=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int):
+    """Dense (out, in) interpolation matrix for one axis (2 nonzeros/row)."""
+    aw = _axis_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    if aw is None:
+        np.fill_diagonal(m, 1.0)
+        return m
+    lo, hi, w_hi = aw
+    rows = np.arange(out_size)
+    # hi may equal lo at the border; add into place
+    np.add.at(m, (rows, lo), 1.0 - w_hi)
+    np.add.at(m, (rows, hi), w_hi)
+    return m
+
+
+def bilinear_resize_mxu(x, size, *, precision=None):
+    """NHWC bilinear resize as two interpolation matmuls (MXU path).
+
+    Identical sampling grid to :func:`bilinear_resize` (torch
+    align_corners=False), but expressed as ``W_h @ x @ W_w^T`` so the TPU's
+    systolic array does the work instead of gathers — the faster choice for
+    the big logit upsamples (e.g. 90x160 -> 720x1280 x K). Pass
+    ``precision=lax.Precision.HIGHEST`` for fp32 parity; default lets the
+    MXU run bf16.
+    """
+    h_out, w_out = int(size[0]), int(size[1])
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    wh = jnp.asarray(_interp_matrix(h_in, h_out))
+    ww = jnp.asarray(_interp_matrix(w_in, w_out))
+    # x: (..., H, W, C)
+    y = jnp.einsum("oh,...hwc->...owc", wh, x, precision=precision)
+    return jnp.einsum("pw,...owc->...opc", ww, y, precision=precision)

@@ -93,3 +93,20 @@ def test_prototype_distance_matches_numpy():
     got = np.asarray(prototype_distance(jnp.asarray(f), jnp.asarray(proto)))
     want = -np.sum((f - proto) ** 2, axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((12, 17), (90, 160)), ((45, 80), (720, 1280)), ((33, 44), (16, 23)),
+])
+def test_bilinear_resize_mxu_matches_gather(in_hw, out_hw):
+    import jax.lax as lax
+    from open_world_semantic_segmentation_tpu.ops.resize import (
+        bilinear_resize_mxu,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, *in_hw, 5)).astype(np.float32)
+    ref = np.asarray(bilinear_resize(jnp.asarray(x), out_hw))
+    got = np.asarray(bilinear_resize_mxu(
+        jnp.asarray(x), out_hw, precision=lax.Precision.HIGHEST))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
