@@ -1,0 +1,126 @@
+"""Dense-CRF mean-field refinement for OOD scoring.
+
+The reference's ``crf`` / ``crf-gauss`` branches
+(eval_ood_traditional.py:471-510) run pydensecrf (permutohedral-lattice
+C++) on host for 100 iterations and use ``max_k Q`` as the confidence map.
+
+``gaussian_crf_conf`` is the TPU-native equivalent of ``crf-gauss``
+(addPairwiseGaussian(sxy=3, compat=3)): mean-field with a *pure spatial*
+Gaussian pairwise kernel is exactly a per-class Gaussian blur, so each of
+the 100 iterations is two separable 1-D convolutions + a softmax — all XLA,
+no host round trip. The truncated convolution replaces the reference's
+lattice approximation of the same Gaussian (both approximate the dense
+kernel; ours errs < 1e-4 at 3.5 sigma truncation).
+
+Update rule (Krähenbühl & Koltun 2011, PottsCompatibility, symmetric
+kernel normalization):
+    Q <- softmax(log p_unary + compat * norm(G * (norm * Q)))
+with norm = 1/sqrt(G * 1); see gaussian_crf for the stability notes.
+
+The bilateral ``crf`` variant needs feature-space (color) kernels; it
+dispatches to pydensecrf when installed and raises otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_kernel(sigma: float, truncate: float = 3.5):
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32), radius
+
+
+def _blur(q, sigma: float):
+    """Separable Gaussian blur over H, W of (H, W, K) via two depthwise
+    convolutions, zero-padded edges (pydensecrf's lattice likewise lets
+    mass fall off at borders)."""
+    from jax import lax
+
+    k, radius = _gauss_kernel(sigma)
+    kk = q.shape[-1]
+    taps = 2 * radius + 1
+    kern = jnp.broadcast_to(jnp.asarray(k).reshape(taps, 1, 1, 1),
+                            (taps, 1, 1, kk))
+    x = q[None]
+    x = lax.conv_general_dilated(
+        x, kern, (1, 1), ((radius, radius), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=kk)
+    kern_w = jnp.broadcast_to(jnp.asarray(k).reshape(1, taps, 1, 1),
+                              (1, taps, 1, kk))
+    x = lax.conv_general_dilated(
+        x, kern_w, (1, 1), ((0, 0), (radius, radius)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=kk)
+    return x[0]
+
+
+@functools.partial(jax.jit, static_argnames=("sxy", "compat", "iters"))
+def gaussian_crf(probs, sxy: float = 3.0, compat: float = 3.0,
+                 iters: int = 100):
+    """Mean-field refined distribution Q from unary softmax ``probs``
+    (H, W, K). Returns Q.
+
+    Messages use DenseCRF's symmetric normalization
+    (msg = blur(q / sqrt(m)) / sqrt(m) with m = blur(ones)): without it the
+    zero-padded blur loses mass at image borders, edge pixels see
+    artificially weak agreement and flip, and the artifact invades inward.
+    """
+    log_unary = jnp.log(jnp.maximum(probs, 1e-20))
+    ones = jnp.ones(probs.shape[:2] + (1,), probs.dtype)
+    inv_sqrt_m = 1.0 / jnp.sqrt(jnp.maximum(_blur(ones, sxy), 1e-12))
+
+    def body(_, q):
+        msg = _blur(q * inv_sqrt_m, sxy) * inv_sqrt_m
+        # Potts: agreement with neighbors RAISES the class score
+        # (pydensecrf: tmp1 -= PottsCompatibility(msg) with mu = -compat).
+        # No self-subtraction: with the symmetric normalization the self
+        # weight is ~k(0)/m (tiny), and subtracting the full q makes sharp
+        # pixels penalize their own class -> period-2 oscillation.
+        pairwise = compat * msg
+        return jax.nn.softmax(log_unary + pairwise, axis=-1)
+
+    return jax.lax.fori_loop(0, iters, body, probs)
+
+
+def gaussian_crf_conf(probs, sxy: float = 3.0, compat: float = 3.0,
+                      iters: int = 100):
+    """conf = max_k Q, pred = argmax_k Q (eval_ood_traditional.py:505-510)."""
+    q = gaussian_crf(probs, sxy, compat, iters)
+    return jnp.max(q, axis=-1), jnp.argmax(q, axis=-1)
+
+
+def densecrf_conf(probs_hwk, img_hwc=None, *, mode: str = "gauss",
+                  iters: int = 100):
+    """pydensecrf path (host): 'gauss' == addPairwiseGaussian(3, 3);
+    'bilateral' == create_pairwise_bilateral(sdims=(10,10), schan=13) on the
+    score map, compat 10 (eval_ood_traditional.py:471-510)."""
+    try:
+        import pydensecrf.densecrf as dcrf
+        from pydensecrf.utils import (
+            unary_from_softmax, create_pairwise_bilateral)
+    except ImportError as e:
+        raise RuntimeError(
+            "bilateral CRF needs the external pydensecrf package; the "
+            "native TPU path covers the gaussian variant "
+            "(openset.crf.gaussian_crf_conf)") from e
+
+    probs = np.asarray(probs_hwk).transpose(2, 0, 1)
+    ch, h, w = probs.shape
+    d = dcrf.DenseCRF2D(h, w, ch)
+    d.setUnaryEnergy(unary_from_softmax(probs))
+    if mode == "gauss":
+        d.addPairwiseGaussian(sxy=3, compat=3)
+    else:
+        pe = create_pairwise_bilateral(sdims=(10, 10), schan=13,
+                                       img=probs, chdim=0)
+        d.addPairwiseEnergy(pe, compat=10)
+    q = np.array(d.inference(iters)).reshape(ch, h, w)
+    return q.max(0), q.argmax(0)

@@ -50,13 +50,28 @@ def _knn_kernel(hbm_ref, out_ref, scratch, sem, *, halo, th, tw, c):
     copy.wait()
 
     block = scratch[...]  # (c, bh, bw)
-    acc = jnp.zeros((bh, bw), jnp.float32)
-    for dh in range(1, halo + 1):
-        for dw in range(1, halo + 1):
-            # pltpu.roll requires non-negative shifts: -d == size - d
-            fwd = pltpu.roll(pltpu.roll(block, bh - dh, 1), bw - dw, 2)
-            bwd = pltpu.roll(pltpu.roll(block, dh, 1), dw, 2)
-            acc = acc + jnp.sum(block * (fwd + bwd), axis=0)
+
+    # Incremental rolling inside fori_loops: every shift is a static
+    # rotate-by-1 (pltpu.roll needs non-negative static shifts; -1 == size-1)
+    # and the loop carry reuses the temporaries — a fully unrolled version
+    # allocates a fresh VMEM stack slot per shift and OOMs scoped vmem.
+    def outer(dh_idx, carry):
+        rh_f, rh_b, acc = carry
+        rh_f = pltpu.roll(rh_f, bh - 1, 1)  # cumulative shift -dh in H
+        rh_b = pltpu.roll(rh_b, 1, 1)       # cumulative shift +dh in H
+
+        def inner(dw_idx, c2):
+            rw_f, rw_b, acc2 = c2
+            rw_f = pltpu.roll(rw_f, bw - 1, 2)  # -dw in W
+            rw_b = pltpu.roll(rw_b, 1, 2)       # +dw in W
+            acc2 = acc2 + jnp.sum(block * (rw_f + rw_b), axis=0)
+            return (rw_f, rw_b, acc2)
+
+        _, _, acc = jax.lax.fori_loop(0, halo, inner, (rh_f, rh_b, acc))
+        return (rh_f, rh_b, acc)
+
+    acc0 = jnp.zeros((bh, bw), jnp.float32)
+    _, _, acc = jax.lax.fori_loop(0, halo, outer, (block, block, acc0))
     out_ref[...] = jax.lax.slice(acc, (halo, halo), (halo + th, halo + tw))
 
 
