@@ -253,6 +253,69 @@ def convert_deeplab_checkpoint(ckpt, head_names=("classifier",), strict=True):
         strict)[0]
 
 
+def _translate_mobilenet_key(key: str):
+    """DeepLab MobileNetV2 backbone keys (network/modeling.py:44-68:
+    features[0:4] -> low_level_features, features[4:-1] ->
+    high_level_features, renumbered from 0)."""
+    m = re.match(r"^low_level_features\.0\.0\.weight$", key)
+    if m:
+        return "net/stem/cb/conv", "conv"
+    m = re.match(r"^low_level_features\.0\.1\.(\w+)$", key)
+    if m:
+        return "net/stem/cb/bn", m.group(1)
+
+    m = re.match(r"^(low|high)_level_features\.(\d+)\.conv\.(.+)$", key)
+    if m is None:
+        return None
+    # nn.Sequential slicing (features[0:4] / features[4:-1],
+    # modeling.py:53-54) preserves the original child indices
+    block = int(m.group(2))
+    rest = m.group(3)
+    prefix = f"net/block{block}"
+    # block1 is the expand_ratio==1 block (no pw expand layer)
+    if block == 1:
+        table = {
+            r"^0\.0\.weight$": ("dw/cb/conv", "conv"),
+            r"^0\.1\.(\w+)$": ("dw/cb/bn", None),
+            r"^1\.weight$": ("project/conv", "conv"),
+            r"^2\.(\w+)$": ("project/bn", None),
+        }
+    else:
+        table = {
+            r"^0\.0\.weight$": ("expand/cb/conv", "conv"),
+            r"^0\.1\.(\w+)$": ("expand/cb/bn", None),
+            r"^1\.0\.weight$": ("dw/cb/conv", "conv"),
+            r"^1\.1\.(\w+)$": ("dw/cb/bn", None),
+            r"^2\.weight$": ("project/conv", "conv"),
+            r"^3\.(\w+)$": ("project/bn", None),
+        }
+    for pat, (sub, kind) in table.items():
+        mm = re.match(pat, rest)
+        if mm:
+            return f"{prefix}/{sub}", kind or mm.group(1)
+    return None
+
+
+def _translate_mobilenet_model_key(key: str):
+    if key.startswith("backbone."):
+        sub = _translate_mobilenet_key(key[len("backbone."):])
+        if sub is None:
+            return None
+        return "backbone/" + sub[0], sub[1]
+    if key.startswith("classifier."):
+        sub = _translate_deeplab_head_key(key[len("classifier."):])
+        if sub is None:
+            return None
+        return "head/" + sub[0], sub[1]
+    return None
+
+
+def convert_mobilenet_deeplab_checkpoint(ckpt, strict=True):
+    """deeplabv3(plus)_mobilenet checkpoint -> flax variables."""
+    state = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    return _convert(state, _translate_mobilenet_model_key, strict)[0]
+
+
 def load_torch_checkpoint(path: str):
     """Load a .pth file on CPU without importing the reference code."""
     import torch

@@ -154,3 +154,52 @@ def test_deeplabv3plus_resnet50_forward_parity(deeplab_network):
     scale = np.abs(out_t).max()
     np.testing.assert_allclose(got / scale, out_t / scale, atol=2e-5)
     np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
+
+
+def test_deeplabv3plus_mobilenet_forward_parity(deeplab_network):
+    torch.manual_seed(2)
+    model_t = deeplab_network.deeplabv3plus_mobilenet(
+        num_classes=19, output_stride=16, pretrained_backbone=False)
+    model_t.eval()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+
+    from open_world_semantic_segmentation_tpu.models import (
+        deeplabv3plus_mobilenet,
+    )
+    from open_world_semantic_segmentation_tpu.train.convert import (
+        convert_mobilenet_deeplab_checkpoint,
+    )
+
+    variables = convert_mobilenet_deeplab_checkpoint(_np_state_dict(model_t))
+    model = deeplabv3plus_mobilenet(num_classes=19, output_stride=16)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    scale = np.abs(out_t).max()
+    np.testing.assert_allclose(got / scale, out_t / scale, atol=2e-5)
+    np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
+
+
+def test_deeplabv3plus_resnet50_os8_parity(deeplab_network):
+    torch.manual_seed(3)
+    model_t = deeplab_network.deeplabv3plus_resnet50(
+        num_classes=19, output_stride=8, pretrained_backbone=False)
+    model_t.eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+
+    from open_world_semantic_segmentation_tpu.models import (
+        deeplabv3plus_resnet50,
+    )
+
+    variables = convert_deeplab_checkpoint(_np_state_dict(model_t))
+    model = deeplabv3plus_resnet50(num_classes=19, output_stride=8)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    scale = np.abs(out_t).max()
+    np.testing.assert_allclose(got / scale, out_t / scale, atol=2e-5)
+    np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
