@@ -253,6 +253,121 @@ def convert_deeplab_checkpoint(ckpt, head_names=("classifier",), strict=True):
         strict)[0]
 
 
+def _translate_hrnet_key(key: str):
+    """anomaly HRNetV2-W48 keys (anomaly/models/hrnet.py) -> flax paths of
+    models/hrnet.py. The classification-head leftovers (incre/downsamp/final
+    layers, unused by the segmentation forward) translate to None."""
+    m = re.match(r"^conv([12])\.weight$", key)
+    if m:
+        return f"stem{m.group(1)}/conv", "conv"
+    m = re.match(r"^bn([12])\.(\w+)$", key)
+    if m:
+        return f"stem{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^layer1\.(\d+)\.conv(\d)\.weight$", key)
+    if m:
+        return f"layer1_{m.group(1)}/c{m.group(2)}/conv", "conv"
+    m = re.match(r"^layer1\.(\d+)\.bn(\d)\.(\w+)$", key)
+    if m:
+        return f"layer1_{m.group(1)}/c{m.group(2)}/bn", m.group(3)
+    m = re.match(r"^layer1\.(\d+)\.downsample\.0\.weight$", key)
+    if m:
+        return f"layer1_{m.group(1)}/down/conv", "conv"
+    m = re.match(r"^layer1\.(\d+)\.downsample\.1\.(\w+)$", key)
+    if m:
+        return f"layer1_{m.group(1)}/down/bn", m.group(2)
+    # transitions: existing branch = Sequential(conv, bn, relu); new branch
+    # = Sequential(Sequential(conv, bn, relu)) (hrnet.py:310-343)
+    m = re.match(r"^transition(\d)\.(\d)\.0\.0\.weight$", key)
+    if m:
+        return f"trans{int(m.group(1)) - 1}_{m.group(2)}/conv", "conv"
+    m = re.match(r"^transition(\d)\.(\d)\.0\.1\.(\w+)$", key)
+    if m:
+        return f"trans{int(m.group(1)) - 1}_{m.group(2)}/bn", m.group(3)
+    m = re.match(r"^transition(\d)\.(\d)\.0\.weight$", key)
+    if m:
+        return f"trans{int(m.group(1)) - 1}_{m.group(2)}/conv", "conv"
+    m = re.match(r"^transition(\d)\.(\d)\.1\.(\w+)$", key)
+    if m:
+        return f"trans{int(m.group(1)) - 1}_{m.group(2)}/bn", m.group(3)
+    # stage modules: branches + fuse layers
+    m = re.match(r"^stage(\d)\.(\d+)\.branches\.(\d)\.(\d+)\."
+                 r"conv(\d)\.weight$", key)
+    if m:
+        return (f"stage{m.group(1)}_{m.group(2)}/branch{m.group(3)}_"
+                f"{m.group(4)}/c{m.group(5)}/conv"), "conv"
+    m = re.match(r"^stage(\d)\.(\d+)\.branches\.(\d)\.(\d+)\."
+                 r"bn(\d)\.(\w+)$", key)
+    if m:
+        return (f"stage{m.group(1)}_{m.group(2)}/branch{m.group(3)}_"
+                f"{m.group(4)}/c{m.group(5)}/bn"), m.group(6)
+    m = re.match(r"^stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.(\d)\."
+                 r"0\.weight$", key)
+    if m:  # j < i downsample chain step k
+        return (f"stage{m.group(1)}_{m.group(2)}/fuse{m.group(3)}_"
+                f"{m.group(4)}/d{m.group(5)}/conv"), "conv"
+    m = re.match(r"^stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.(\d)\."
+                 r"1\.(\w+)$", key)
+    if m:
+        return (f"stage{m.group(1)}_{m.group(2)}/fuse{m.group(3)}_"
+                f"{m.group(4)}/d{m.group(5)}/bn"), m.group(6)
+    m = re.match(r"^stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.0\.weight$",
+                 key)
+    if m:  # j > i: 1x1 conv + bn
+        return (f"stage{m.group(1)}_{m.group(2)}/fuse{m.group(3)}_"
+                f"{m.group(4)}/conv"), "conv"
+    m = re.match(r"^stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.1\.(\w+)$",
+                 key)
+    if m:
+        return (f"stage{m.group(1)}_{m.group(2)}/fuse{m.group(3)}_"
+                f"{m.group(4)}/bn"), m.group(5)
+    return None
+
+
+def convert_hrnet_encoder(state_dict, strict=False):
+    """hrnetv2 encoder state_dict -> flax variables (classification-head
+    leftovers skipped; strict=False by default)."""
+    return _convert(state_dict, _translate_hrnet_key, strict)[0]
+
+
+def _translate_csail_mobilenet_key(key: str):
+    """anomaly/models/mobilenet.py keys -> MobileNetV2Dilated flax paths.
+
+    features.0 = conv_bn stem (.0 conv, .1 bn); features.N (N=1..17)
+    InvertedResidual with Sequential indices: expand blocks
+    (0 pw-conv, 1 bn, 3 dw-conv, 4 bn, 6 project-conv, 7 bn); the t=1 block
+    (features.1): (0 dw-conv, 1 bn, 3 project-conv, 4 bn). The final 1x1
+    conv (features.18) is dropped by MobileNetV2Dilated.
+    """
+    m = re.match(r"^features\.0\.0\.weight$", key)
+    if m:
+        return "net/stem/cb/conv", "conv"
+    m = re.match(r"^features\.0\.1\.(\w+)$", key)
+    if m:
+        return "net/stem/cb/bn", m.group(1)
+    m = re.match(r"^features\.(\d+)\.conv\.(\d)\.(\w+)$", key)
+    if m is None:
+        return None
+    block = int(m.group(1))
+    if block >= 18:
+        return None  # dropped final conv
+    idx, leaf = int(m.group(2)), m.group(3)
+    if block == 1:
+        table = {0: ("dw/cb/conv", True), 1: ("dw/cb/bn", False),
+                 3: ("project/conv", True), 4: ("project/bn", False)}
+    else:
+        table = {0: ("expand/cb/conv", True), 1: ("expand/cb/bn", False),
+                 3: ("dw/cb/conv", True), 4: ("dw/cb/bn", False),
+                 6: ("project/conv", True), 7: ("project/bn", False)}
+    if idx not in table:
+        return None
+    sub, is_conv = table[idx]
+    return f"net/block{block}/{sub}", ("conv" if is_conv else leaf)
+
+
+def convert_csail_mobilenet_encoder(state_dict, strict=True):
+    return _convert(state_dict, _translate_csail_mobilenet_key, strict)[0]
+
+
 def _translate_mobilenet_key(key: str):
     """DeepLab MobileNetV2 backbone keys (network/modeling.py:44-68:
     features[0:4] -> low_level_features, features[4:-1] ->
