@@ -126,6 +126,8 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     planes: Sequence[int] = (64, 128, 256, 512)
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM when
+    # training large crops/batches (jax.checkpoint over each residual block)
 
     @nn.compact
     def __call__(self, x):
@@ -145,13 +147,14 @@ class ResNet(nn.Module):
         plan = _stage_plan(self.output_stride)
         planes = self.planes
         prev_dilation = 1
+        block_cls = nn.remat(self.block) if self.remat else self.block
         for stage, (nblocks, (stride, dilation)) in enumerate(
                 zip(self.layers, plan)):
             for b in range(nblocks):
                 is_first = b == 0
                 in_ch = x.shape[-1]
                 out_ch = planes[stage] * self.block.expansion
-                x = self.block(
+                x = block_cls(
                     planes=planes[stage],
                     stride=stride if is_first else 1,
                     dilation=dilation,

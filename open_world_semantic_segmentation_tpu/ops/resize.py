@@ -61,7 +61,17 @@ def bilinear_resize(x, size, *, channel_last: bool = True):
     ``size`` is (H_out, W_out). Matches
     ``torch.nn.functional.interpolate(..., mode='bilinear',
     align_corners=False)`` exactly (given the same dtype).
+
+    Set ``OWSS_RESIZE_IMPL=mxu`` to route NHWC resizes through the
+    interpolation-matmul formulation (same sampling grid, systolic-array
+    execution) — identical results to ~1e-6, sometimes faster for the large
+    logit upsamples.
     """
+    import os
+
+    if os.environ.get("OWSS_RESIZE_IMPL") == "mxu" and channel_last \
+            and x.ndim >= 3:
+        return bilinear_resize_mxu(x, size)
     h_out, w_out = int(size[0]), int(size[1])
     if channel_last:
         h_ax = x.ndim - 3

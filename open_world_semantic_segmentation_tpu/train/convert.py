@@ -205,9 +205,53 @@ def convert_csail_encoder(state_dict, strict=True):
                     strict)[0]
 
 
+def _translate_upernet_key(key: str):
+    """UPerNet decoder keys (models.py:690-777). Kept separate from the
+    PPM/C1 translator: UPerNet's conv_last.1 is the final Conv2d while
+    PPM's conv_last.1 is a BN — same key, different meaning."""
+    m = re.match(r"^ppm_conv\.(\d)\.0\.weight$", key)
+    if m:
+        return f"ppm_conv{m.group(1)}/conv", "conv"
+    m = re.match(r"^ppm_conv\.(\d)\.1\.(\w+)$", key)
+    if m:
+        return f"ppm_conv{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^ppm_last_conv\.0\.weight$", key)
+    if m:
+        return "ppm_last_conv/conv", "conv"
+    m = re.match(r"^ppm_last_conv\.1\.(\w+)$", key)
+    if m:
+        return "ppm_last_conv/bn", m.group(1)
+    m = re.match(r"^fpn_in\.(\d)\.0\.weight$", key)
+    if m:
+        return f"fpn_in{m.group(1)}/conv", "conv"
+    m = re.match(r"^fpn_in\.(\d)\.1\.(\w+)$", key)
+    if m:
+        return f"fpn_in{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^fpn_out\.(\d)\.0\.0\.weight$", key)
+    if m:
+        return f"fpn_out{m.group(1)}/conv", "conv"
+    m = re.match(r"^fpn_out\.(\d)\.0\.1\.(\w+)$", key)
+    if m:
+        return f"fpn_out{m.group(1)}/bn", m.group(2)
+    m = re.match(r"^conv_last\.0\.0\.weight$", key)
+    if m:
+        return "conv_fusion/conv", "conv"
+    m = re.match(r"^conv_last\.0\.1\.(\w+)$", key)
+    if m:
+        return "conv_fusion/bn", m.group(1)
+    m = re.match(r"^conv_last\.1\.(weight|bias)$", key)
+    if m:
+        return "conv_last/conv", {"weight": "conv", "bias": "cbias"}[m.group(1)]
+    return None
+
+
 def convert_decoder(state_dict, strict=True):
-    """anomaly decoder_epoch_N.pth (PPM/C1 family) -> flax variables."""
-    return _convert(state_dict, _translate_decoder_key, strict)[0]
+    """anomaly decoder_epoch_N.pth (PPM/C1/UPerNet family) -> flax
+    variables; the UPerNet layout is auto-detected by its fpn keys."""
+    is_upernet = any(k.startswith("fpn_in.") for k in state_dict)
+    translate = _translate_upernet_key if is_upernet \
+        else _translate_decoder_key
+    return _convert(state_dict, translate, strict)[0]
 
 
 def convert_segmentation_model(enc_state, dec_state, strict=True):

@@ -44,7 +44,8 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
                             beta: float = 0.0,
                             deep_sup_scale: Optional[float] = None,
                             ignore_index: int = -1,
-                            rng: Optional[jax.Array] = None) -> Callable:
+                            rng: Optional[jax.Array] = None,
+                            guard: bool = False) -> Callable:
     """Train step for the anomaly stack (SegmentationModule semantics).
 
     loss = CE/n + alpha*VAR/n (models.py:78); the deep-supervision term is
@@ -76,16 +77,23 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    state.step)
-        state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=new_bs)
-        return state, {"loss": loss, "acc": acc}
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {"loss": loss, "acc": acc}
+        if guard:
+            from .guard import all_finite, select_update
+
+            finite = jnp.logical_and(all_finite(grads), jnp.isfinite(loss))
+            new_state = select_update(finite, new_state, state)
+            metrics["skipped"] = jnp.logical_not(finite)
+        return new_state, metrics
 
     return train_step
 
 
 def make_deeplab_train_step(model, *, loss_kind: str = "cross_entropy",
                             ignore_index: int = 255,
-                            rng: Optional[jax.Array] = None) -> Callable:
+                            rng: Optional[jax.Array] = None,
+                            guard: bool = False) -> Callable:
     """Train step for the DeepLab stack: model returns (logits, centers,
     features) (embedding wrappers) or bare logits; loss = CE/n
     (utils/loss.py:42 active path)."""
@@ -112,8 +120,14 @@ def make_deeplab_train_step(model, *, loss_kind: str = "cross_entropy",
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    state.step)
-        state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=new_bs)
-        return state, {"loss": loss, "acc": acc}
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {"loss": loss, "acc": acc}
+        if guard:
+            from .guard import all_finite, select_update
+
+            finite = jnp.logical_and(all_finite(grads), jnp.isfinite(loss))
+            new_state = select_update(finite, new_state, state)
+            metrics["skipped"] = jnp.logical_not(finite)
+        return new_state, metrics
 
     return train_step

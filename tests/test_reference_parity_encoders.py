@@ -149,3 +149,33 @@ def test_decoder_parity(ref_anomaly, arch, softmaxed):
     got = np.asarray(out["scores"])
     _cmp(got, out_t)
     np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
+
+
+@pytest.mark.parametrize("arch", ["upernet_lite", "upernet"])
+def test_upernet_decoder_parity(ref_anomaly, arch):
+    torch.manual_seed(14)
+    dec_t = ref_anomaly["models"].ModelBuilder.build_decoder(
+        arch, fc_dim=2048, num_class=13, use_softmax=True)
+    dec_t.eval()
+    rng = np.random.default_rng(14)
+    conv_out_np = [
+        rng.standard_normal((1, 256, 16, 16)).astype(np.float32),
+        rng.standard_normal((1, 512, 8, 8)).astype(np.float32),
+        rng.standard_normal((1, 1024, 8, 8)).astype(np.float32),
+        rng.standard_normal((1, 2048, 8, 8)).astype(np.float32),
+    ]
+    seg_size = (32, 32)
+    with torch.no_grad():
+        out_t = dec_t([torch.from_numpy(a) for a in conv_out_np],
+                      segSize=seg_size)
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+
+    variables = tc.convert_decoder(_np_state_dict(dec_t))
+    dec = ModelBuilder.build_decoder(arch, fc_dim=2048, num_class=13,
+                                     use_softmax=True)
+    out = dec.apply(variables,
+                    [jnp.asarray(a.transpose(0, 2, 3, 1))
+                     for a in conv_out_np], seg_size=seg_size)
+    got = np.asarray(out["scores"])
+    _cmp(got, out_t)
+    np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))

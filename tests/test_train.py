@@ -143,3 +143,50 @@ def test_checkpoint_roundtrip_and_partial(tmp_path):
                                   np.full((2, 2), 5.0))
     np.testing.assert_array_equal(np.asarray(restored2["a"]["kernel"]),
                                   np.arange(6.0).reshape(2, 3))
+
+
+def test_guarded_step_skips_nonfinite():
+    """Poisoned batch (inf input) -> loss/grads non-finite -> update skipped."""
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13, train=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = torch_sgd(poly_schedule(0.02, 100), momentum=0.9)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    step = make_anomaly_train_step(model, guard=True)
+
+    rng = np.random.default_rng(0)
+    good = {"img_data": jnp.asarray(
+                rng.standard_normal((1, 32, 32, 3)).astype(np.float32)),
+            "seg_label": jnp.asarray(rng.integers(0, 13, (1, 4, 4)))}
+    bad = {"img_data": jnp.full((1, 32, 32, 3), jnp.inf, jnp.float32),
+           "seg_label": good["seg_label"]}
+
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, m = step(state, bad)
+    assert bool(m["skipped"])
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)
+    assert int(state.step) == 1  # counter still advances
+
+    state, m = step(state, good)
+    assert not bool(m["skipped"])
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.array_equal(p1, p2)
+
+
+def test_remat_backbone_matches_plain():
+    from open_world_semantic_segmentation_tpu.models.resnet import resnet18
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 32, 32, 3)).astype(np.float32))
+    plain = resnet18(stem="deep", output_stride=8)
+    remat = resnet18(stem="deep", output_stride=8, remat=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    out_p = plain.apply(v, x)
+    out_r = remat.apply(v, x)
+    for a, b in zip(out_p, out_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
