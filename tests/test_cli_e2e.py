@@ -172,3 +172,27 @@ def test_config_yaml_roundtrip(tmp_path):
     assert cfg.TRAIN.num_epoch == 5
     assert cfg.OOD.ood == "dissum"
     assert cfg.TRAIN.weight_decay == 1e-4  # "1e-4" string coerced to float
+
+
+def test_hrnet_and_c1_pipeline(sh_root, tmp_path):
+    """hrnetv2 encoder + c1 decoder wiring through the eval driver."""
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    cfg.MODEL.arch_encoder = "hrnetv2"
+    cfg.MODEL.arch_decoder = "c1"
+    cfg.MODEL.fc_dim = 720
+    cfg.OOD.ood = "msp"
+    result = eval_ood.main(cfg, jnp.float32, max_images=1)
+    assert result["mean_iou"] >= 0.0
+
+
+def test_mobilenet_dilated_pipeline(sh_root, tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    cfg.MODEL.arch_encoder = "mobilenetv2dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 320
+    result = eval_ood.main(cfg, jnp.float32, max_images=1)
+    assert result["mean_iou"] >= 0.0
