@@ -13,6 +13,7 @@ donated jitted program and data parallelism is the SPMD mesh.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -74,8 +75,12 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
         seed=cfg.TRAIN.seed)
 
     step_fn = make_anomaly_train_step(
-        model, alpha=0.01, rng=jax.random.PRNGKey(cfg.TRAIN.seed))
+        model, alpha=0.01, rng=jax.random.PRNGKey(cfg.TRAIN.seed),
+        fix_bn=cfg.TRAIN.fix_bn, guard=True)
 
+    from ..utils.observability import MetricsWriter
+
+    writer = MetricsWriter(os.path.join(cfg.DIR, "metrics.jsonl"))
     ave_loss = AverageMeter()
     ave_acc = AverageMeter()
     batches = prefetch_to_device(pipeline, size=2, sharding=sharding)
@@ -91,6 +96,8 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
                 acc = float(metrics["acc"])
                 ave_loss.update(loss)
                 ave_acc.update(acc * 100)
+                writer.write(total, loss=loss, acc=acc,
+                             epoch=epoch + 1)
                 dt = (time.perf_counter() - tic) / (it + 1)
                 frac = 1.0 - total / max_iters
                 lr_e = cfg.TRAIN.lr_encoder * max(frac, 0.0) ** cfg.TRAIN.lr_pow

@@ -45,12 +45,15 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
                             deep_sup_scale: Optional[float] = None,
                             ignore_index: int = -1,
                             rng: Optional[jax.Array] = None,
-                            guard: bool = False) -> Callable:
+                            guard: bool = False,
+                            fix_bn: bool = False) -> Callable:
     """Train step for the anomaly stack (SegmentationModule semantics).
 
     loss = CE/n + alpha*VAR/n (models.py:78); the deep-supervision term is
     disabled by default exactly as shipped (models.py:79-81 commented) —
     pass ``deep_sup_scale`` to enable the intended auxiliary loss.
+    ``fix_bn`` freezes running BN statistics (cfg.TRAIN.fix_bn / the
+    reference's frozen-BN finetuning modes, main_self_distillation.py:433).
     """
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -77,7 +80,8 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    state.step)
-        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=state.batch_stats if fix_bn else new_bs)
         metrics = {"loss": loss, "acc": acc}
         if guard:
             from .guard import all_finite, select_update
@@ -93,7 +97,8 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
 def make_deeplab_train_step(model, *, loss_kind: str = "cross_entropy",
                             ignore_index: int = 255,
                             rng: Optional[jax.Array] = None,
-                            guard: bool = False) -> Callable:
+                            guard: bool = False,
+                            fix_bn: bool = False) -> Callable:
     """Train step for the DeepLab stack: model returns (logits, centers,
     features) (embedding wrappers) or bare logits; loss = CE/n
     (utils/loss.py:42 active path)."""
@@ -120,7 +125,8 @@ def make_deeplab_train_step(model, *, loss_kind: str = "cross_entropy",
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    state.step)
-        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=state.batch_stats if fix_bn else new_bs)
         metrics = {"loss": loss, "acc": acc}
         if guard:
             from .guard import all_finite, select_update
