@@ -26,7 +26,8 @@ from ..data import ValPipeline
 from ..openset import OODEvaluator
 
 
-def main(cfg, precision_dtype=jnp.float32, max_images=None):
+def main(cfg, precision_dtype=jnp.float32, max_images=None,
+         batch_images: int = 1):
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype)
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -47,12 +48,20 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None):
         exclude_back=cfg.OOD.exclude_back,
         visualize_dir=os.path.join(cfg.DIR, "result")
         if cfg.VAL.visualize else None)
-    result = evaluator.evaluate(pipeline, progress=False)
+    if batch_images > 1:
+        result = evaluator.evaluate_batched(pipeline,
+                                            batch_size=batch_images,
+                                            progress=True)
+    else:
+        result = evaluator.evaluate(pipeline, progress=False)
     print("Evaluation Done!")
     return result
 
 
 if __name__ == "__main__":
-    args = config_parser(__doc__).parse_args()
+    parser = config_parser(__doc__)
+    parser.add_argument("--batch-images", type=int, default=8,
+                        help="images per device dispatch (1 = per-image)")
+    args = parser.parse_args()
     cfg = parse_config(args)
-    main(cfg, compute_dtype(args))
+    main(cfg, compute_dtype(args), batch_images=args.batch_images)

@@ -129,3 +129,26 @@ def test_evaluator_end_to_end(tmp_path):
     assert result["auroc"] is not None and 0.0 <= result["auroc"] <= 1.0
     assert result["class_iou"].shape == (13,)
     assert len(ev._compiled) == 1  # one pyramid shape-set -> one program
+
+
+def test_evaluator_batched_matches_per_image(tmp_path):
+    from make_synthetic_data import make_streethazards
+    import jax
+    from open_world_semantic_segmentation_tpu.data import ValPipeline
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+
+    root = make_streethazards(str(tmp_path / "shb"), n_val=3, h=48, w=64)
+    pipe = ValPipeline(root, os.path.join(root, "val.odgt"),
+                       img_sizes=(24, 32), img_max_size=80)
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 32, 3)))
+
+    ev1 = OODEvaluator(model, variables, num_class=13, method="dissum")
+    r1 = ev1.evaluate(pipe, progress=False)
+    ev2 = OODEvaluator(model, variables, num_class=13, method="dissum")
+    r2 = ev2.evaluate_batched(pipe, batch_size=2)
+
+    assert r1["auroc"] == pytest.approx(r2["auroc"], abs=1e-9)
+    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], abs=1e-7)
+    assert r1["accuracy"] == pytest.approx(r2["accuracy"], abs=1e-7)
