@@ -78,3 +78,10 @@ if __name__ == "__main__":
     args = config_parser(__doc__).parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args))
+
+
+def _entry():
+    args = config_parser(__doc__).parse_args()
+    cfg = parse_config(args)
+    main(cfg, compute_dtype(args))
+

@@ -65,3 +65,12 @@ if __name__ == "__main__":
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), batch_images=args.batch_images)
+
+
+def _entry():
+    parser = config_parser(__doc__)
+    parser.add_argument("--batch-images", type=int, default=8)
+    args = parser.parse_args()
+    cfg = parse_config(args)
+    main(cfg, compute_dtype(args), batch_images=args.batch_images)
+

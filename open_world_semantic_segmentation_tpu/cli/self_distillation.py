@@ -166,3 +166,12 @@ if __name__ == "__main__":
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), mode=args.mode)
+
+
+def _entry():
+    parser = config_parser(__doc__)
+    parser.add_argument("--mode", choices=["train", "eval"], default="eval")
+    args = parser.parse_args()
+    cfg = parse_config(args)
+    main(cfg, compute_dtype(args), mode=args.mode)
+
