@@ -30,7 +30,12 @@ def parse_config(args) -> Config:
 
 
 def compute_dtype(args):
-    return jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.precision == "bf16":
+        return jnp.bfloat16
+    # true fp32: TPU matmul/conv units otherwise truncate fp32 inputs to
+    # bf16 — metric-parity runs need HIGHEST precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    return jnp.float32
 
 
 def build_anomaly_model(cfg: Config, *, train: bool, use_softmax: bool,

@@ -40,7 +40,9 @@ from ..train import (
 
 
 def make_self_distillation_step(model, *, novel_cls: int, base_classes: int,
-                                rng):
+                                rng, fix_bn: bool = True):
+    # BN frozen by default during incremental training
+    # (main_self_distillation.py:433-435)
     def loss_fn(params, batch_stats, batch, step):
         (logits, centers, features), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -55,7 +57,8 @@ def make_self_distillation_step(model, *, novel_cls: int, base_classes: int,
     def step_fn(state, batch):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, state.step)
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        state = state.apply_gradients(grads).replace(
+            batch_stats=state.batch_stats if fix_bn else new_bs)
         return state, loss
 
     return step_fn
