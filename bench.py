@@ -65,7 +65,7 @@ def main():
         pred = jnp.argmax(scores, axis=-1)
         return jnp.sum(pred), jnp.nansum(conf)
 
-    n_imgs = 8
+    n_imgs = 16
 
     def eval_stream(variables, pyramids):
         """Scan the full per-image pipeline over a stream of images inside

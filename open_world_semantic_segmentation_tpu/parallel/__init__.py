@@ -26,4 +26,6 @@ from .mesh import (
     shard_batch,
     replicate,
     shard_index_space,
+    make_spatial_mesh,
+    spatial_sharding,
 )

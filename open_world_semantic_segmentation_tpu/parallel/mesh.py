@@ -68,3 +68,24 @@ def shard_index_space(num_samples: int, num_hosts: int, host_id: int,
     if pad:
         idx = np.concatenate([idx, idx[:pad]])
     return idx[host_id * per_host:(host_id + 1) * per_host]
+
+
+def make_spatial_mesh(n_spatial: Optional[int] = None,
+                      n_data: int = 1, devices=None) -> Mesh:
+    """2-D ('data', 'spatial') mesh for partitioning the image plane.
+
+    The reference's scaling axis beyond batch is spatial (full-res
+    1024x2048 Cityscapes eval at batch 1, SURVEY §5): sharding W over the
+    'spatial' axis under one jit program makes XLA insert the convolution
+    halo exchanges automatically — numerics identical to single-device.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_spatial is None:
+        n_spatial = len(devices) // n_data
+    sel = np.array(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(sel, ("data", "spatial"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch sharded on batch AND width: P('data', None, 'spatial')."""
+    return NamedSharding(mesh, P("data", None, "spatial"))

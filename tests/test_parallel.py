@@ -101,3 +101,32 @@ def test_shard_batch_layout():
     batch = {"a": np.zeros((16, 3)), "b": np.ones((16,))}
     sb = shard_batch(batch, mesh)
     assert sb["a"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_spatially_sharded_eval_matches_single_device():
+    """Width-sharded full-res eval (2-D mesh): XLA's GSPMD inserts conv
+    halo exchanges; predictions must be identical to unsharded."""
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.parallel.mesh import (
+        make_spatial_mesh, spatial_sharding)
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 32, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+
+    mesh = make_spatial_mesh(n_spatial=4, n_data=2)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    vs = replicate(variables, mesh)
+
+    @jax.jit
+    def fwd(v, a):
+        out = model.apply(v, a, seg_size=(32, 64))
+        return jnp.argmax(out["scores"], axis=-1), out["scores"]
+
+    preds_sh, scores_sh = fwd(vs, xs)
+    preds_1, scores_1 = fwd(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(scores_sh), np.asarray(scores_1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(preds_sh), np.asarray(preds_1))
