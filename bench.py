@@ -35,6 +35,9 @@ PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
 def main():
     import os
 
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+
     # interpolation-matmul resize: same sampling grid on the MXU, +11%
     # end-to-end on this pipeline vs the gather formulation
     os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")

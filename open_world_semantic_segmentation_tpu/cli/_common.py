@@ -9,7 +9,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.cache import enable as _enable_cache
 from ..core.config import Config, load_config
+
+_enable_cache()
 
 
 def config_parser(description: str) -> argparse.ArgumentParser:

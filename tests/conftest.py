@@ -25,3 +25,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from open_world_semantic_segmentation_tpu.core.cache import enable  # noqa: E402
+
+enable()
