@@ -76,7 +76,8 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
 
     step_fn = make_anomaly_train_step(
         model, alpha=0.01, rng=jax.random.PRNGKey(cfg.TRAIN.seed),
-        fix_bn=cfg.TRAIN.fix_bn, guard=True)
+        fix_bn=cfg.TRAIN.fix_bn, guard=True,
+        log_softmax_scores=not cfg.MODEL.arch_decoder.endswith("embedding"))
 
     from ..utils.observability import MetricsWriter
 

@@ -46,7 +46,8 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
                             ignore_index: int = -1,
                             rng: Optional[jax.Array] = None,
                             guard: bool = False,
-                            fix_bn: bool = False) -> Callable:
+                            fix_bn: bool = False,
+                            log_softmax_scores: bool = False) -> Callable:
     """Train step for the anomaly stack (SegmentationModule semantics).
 
     loss = CE/n + alpha*VAR/n (models.py:78); the deep-supervision term is
@@ -54,6 +55,10 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
     pass ``deep_sup_scale`` to enable the intended auxiliary loss.
     ``fix_bn`` freezes running BN statistics (cfg.TRAIN.fix_bn / the
     reference's frozen-BN finetuning modes, main_self_distillation.py:433).
+    ``log_softmax_scores``: the non-embedding decoders feed LOG-SOFTMAX
+    outputs into SegmentationModule (models.py:578, crit=NLLLoss), so their
+    VAR term operates on log-probs; the embedding decoder feeds raw distance
+    logits (models.py:681-682 commented out). Set True for C1/PPM training.
     """
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -65,6 +70,8 @@ def make_anomaly_train_step(model, *, alpha: float = 0.01,
             rngs={"dropout": jax.random.fold_in(base_rng, step)},
         )
         logits = out["scores"]
+        if log_softmax_scores:
+            logits = jax.nn.log_softmax(logits, axis=-1)
         loss, (ce, var, inter, acc) = dml_segmentation_loss(
             logits, batch["seg_label"], alpha=alpha, beta=beta,
             ignore_index=ignore_index)

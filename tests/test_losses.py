@@ -127,3 +127,21 @@ def test_distillation_loss_active_and_full_paths():
         d = (f2[i][keep] - f1p[i][keep])
         dis += (d ** 2).sum() / keep.sum()
     assert full == pytest.approx(want_ce / n + 0.01 * dis / n, rel=1e-4)
+
+
+def test_dml_loss_log_softmax_mode_matches_reference_nll_path():
+    """Closed-set decoders feed log-softmax into SegmentationModule; the VAR
+    term then sums -log_prob[y]. CE via NLL on log-probs == CE on logits."""
+    import jax
+
+    logits, labels = _case(seed=8)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    loss, (ce, var, inter, acc) = dml_segmentation_loss(
+        jnp.asarray(logp), jnp.asarray(labels), alpha=0.01)
+    want_var, _ = _reference_var_inter(logp, labels)
+    assert float(var) == pytest.approx(want_var, rel=1e-4)
+    # CE on log-probs equals CE on original logits
+    want_ce = F.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(labels), ignore_index=-1).item()
+    assert float(ce) == pytest.approx(want_ce, rel=1e-4)
