@@ -137,7 +137,8 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
     sharding = data_sharding(mesh)
 
     step_fn = make_deeplab_train_step(
-        model, rng=jax.random.PRNGKey(d.random_seed))
+        model, loss_kind=d.loss_type,
+        rng=jax.random.PRNGKey(d.random_seed), guard=True)
     metrics = StreamSegMetrics(num_classes)
 
     def collate_to_batch(batch):

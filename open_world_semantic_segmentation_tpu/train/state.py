@@ -121,8 +121,14 @@ def make_deeplab_train_step(model, *, loss_kind: str = "cross_entropy",
         logits = out[0] if isinstance(out, tuple) else out
         if isinstance(logits, (list, tuple)):
             logits = logits[-1]  # self-distillation trains the last head
-        loss = deeplab_cross_entropy(logits, batch["label"],
-                                     ignore_index=ignore_index)
+        if loss_kind == "focal_loss":
+            from .losses import focal_loss
+
+            loss = focal_loss(logits, batch["label"],
+                              ignore_index=ignore_index)
+        else:
+            loss = deeplab_cross_entropy(logits, batch["label"],
+                                         ignore_index=ignore_index)
         acc = pixel_acc(logits, jnp.where(batch["label"] == ignore_index,
                                           -1, batch["label"]))
         return loss, (mutated["batch_stats"], acc)
