@@ -14,9 +14,16 @@ Design:
   contributions from the zero pad are zero;
 - layout is channels-first (C, H, W) so the VMEM tile's lane dimension is
   the wide W axis (128-aligned) instead of the tiny class dimension;
-- the halo'd window is DMA'd from HBM (input kept in ANY memory space)
-  because overlapping tiles are not expressible with disjoint BlockSpecs;
-  all in-tile shift offsets are Python constants -> static slices.
+- the halo'd window is DMA'd from HBM (input pinned to HBM memory space)
+  because overlapping tiles are not expressible with disjoint BlockSpecs,
+  and the DMA window is rounded up to the (8, 128) tiling (Mosaic requires
+  lane-aligned HBM slices);
+- shifts are incremental rotate-by-1 ``pltpu.roll``s inside ``fori_loop``s
+  (Mosaic rejects unaligned strided VMEM slices, and a fully unrolled loop
+  allocates a fresh VMEM stack slot per temporary and OOMs scoped vmem).
+
+Measured on one v5e (720x1280x13 feature map): 38.8 ms vs 1574 ms for the
+jnp formulation — 40x, with max abs error 1e-5.
 """
 
 from __future__ import annotations

@@ -203,3 +203,31 @@ def test_deeplabv3plus_resnet50_os8_parity(deeplab_network):
     scale = np.abs(out_t).max()
     np.testing.assert_allclose(got / scale, out_t / scale, atol=2e-5)
     np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
+
+
+def test_convert_checkpoint_cli_roundtrip(anomaly_models, tmp_path):
+    """The CLI converter ingests real torch .pth files and produces a
+    checkpoint the eval driver can load."""
+    enc_t, dec_t = anomaly_models
+    enc_pth = str(tmp_path / "encoder_epoch_20.pth")
+    dec_pth = str(tmp_path / "decoder_epoch_20.pth")
+    torch.save(enc_t.state_dict(), enc_pth)
+    torch.save(dec_t.state_dict(), dec_pth)
+
+    from open_world_semantic_segmentation_tpu.cli import convert_checkpoint
+
+    out = str(tmp_path / "model.pkl")
+    convert_checkpoint.main(["anomaly", "--encoder", enc_pth,
+                             "--decoder", dec_pth, "--out", out])
+    assert os.path.exists(out)
+
+    from open_world_semantic_segmentation_tpu.train import load_checkpoint
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet50dilated", "ppm_deepsup_embedding", num_class=13)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    target = model.init(jax.random.PRNGKey(0), x)
+    variables, meta = load_checkpoint(out, target=target)
+    assert meta["source"] == [enc_pth, dec_pth]
+    out_scores = model.apply(variables, x, seg_size=(32, 32))["scores"]
+    assert np.isfinite(np.asarray(out_scores)).all()
