@@ -42,7 +42,12 @@ def multi_scale_forward(model, variables, pyramid, seg_size,
     ft = None
     for img in pyramid:
         out = model.apply(variables, img, seg_size=seg_size)
-        s = out["scores"] if isinstance(out, dict) else out
+        if isinstance(out, dict):
+            s = out["scores"]
+        elif isinstance(out, tuple):  # DeepLab embedding wrappers
+            s = out[0]
+        else:
+            s = out
         scores = s / n if scores is None else scores + s / n
         if want_ft and isinstance(out, dict) and "ft" in out:
             f = out["ft"]
