@@ -48,16 +48,46 @@ MODEL_MAP = {
 }
 
 
-def get_transforms(crop_size: int):
-    train_tf = et.ExtCompose([
-        et.ExtRandomCrop(size=(crop_size, crop_size)),
-        et.ExtColorJitter(brightness=0.5, contrast=0.5, saturation=0.5),
-        et.ExtRandomHorizontalFlip(),
-        et.ExtToTensor(),
-        et.ExtNormalize(),
-    ])
+def get_transforms(crop_size: int, dataset: str = "cityscapes"):
+    if dataset == "voc":
+        # main.py:103-110: random scale + pad-if-needed crop, no jitter
+        train_tf = et.ExtCompose([
+            et.ExtRandomScale((0.5, 2.0)),
+            et.ExtRandomCrop(size=(crop_size, crop_size),
+                             pad_if_needed=True),
+            et.ExtRandomHorizontalFlip(),
+            et.ExtToTensor(),
+            et.ExtNormalize(),
+        ])
+    else:
+        train_tf = et.ExtCompose([
+            et.ExtRandomCrop(size=(crop_size, crop_size)),
+            et.ExtColorJitter(brightness=0.5, contrast=0.5, saturation=0.5),
+            et.ExtRandomHorizontalFlip(),
+            et.ExtToTensor(),
+            et.ExtNormalize(),
+        ])
     val_tf = et.ExtCompose([et.ExtToTensor(), et.ExtNormalize()])
     return train_tf, val_tf
+
+
+def get_datasets(cfg, train_tf, val_tf):
+    d = cfg.DEEPLAB
+    if d.dataset == "voc":
+        from ..data import VOCSegmentation
+
+        train_ds = VOCSegmentation(cfg.DATASET.root_dataset,
+                                   image_set="train_aug",
+                                   transform=train_tf)
+        val_ds = VOCSegmentation(cfg.DATASET.root_dataset, image_set="val",
+                                 transform=val_tf)
+        return train_ds, val_ds
+    unknown = tuple(d.unknown_target) if "embedding" in d.model else None
+    train_ds = Cityscapes(cfg.DATASET.root_dataset, split="train",
+                          transform=train_tf, unknown_target=unknown)
+    val_ds = Cityscapes(cfg.DATASET.root_dataset, split="val",
+                        transform=val_tf, unknown_target=unknown)
+    return train_ds, val_ds
 
 
 def build_model(cfg, *, train, dtype):
@@ -101,12 +131,8 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
     model, num_classes = build_model(cfg, train=True, dtype=precision_dtype)
     eval_model, _ = build_model(cfg, train=False, dtype=precision_dtype)
 
-    train_tf, val_tf = get_transforms(d.crop_size)
-    unknown = tuple(d.unknown_target) if "embedding" in d.model else None
-    train_ds = Cityscapes(cfg.DATASET.root_dataset, split="train",
-                          transform=train_tf, unknown_target=unknown)
-    val_ds = Cityscapes(cfg.DATASET.root_dataset, split="val",
-                        transform=val_tf, unknown_target=unknown)
+    train_tf, val_tf = get_transforms(d.crop_size, d.dataset)
+    train_ds, val_ds = get_datasets(cfg, train_tf, val_tf)
 
     example = jnp.zeros((1, d.crop_size, d.crop_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(d.random_seed), example)

@@ -159,3 +159,32 @@ def test_fishyscapes_estimator(tmp_path):
     # scores at feature resolution (no seg_size given -> stride 8)
     assert score.shape == (4, 4)
     assert np.isfinite(score).all()
+
+
+def test_main_deeplab_voc(tmp_path):
+    """VOC dataset wired through the DeepLab trainer."""
+    from open_world_semantic_segmentation_tpu.cli import main_deeplab
+
+    root = _make_voc(str(tmp_path), n=3, h=40, w=56)
+    # train_aug list: reuse train ids with SegmentationClassAug dir
+    import shutil
+    voc = os.path.join(root, "VOCdevkit", "VOC2012")
+    shutil.copytree(os.path.join(voc, "SegmentationClass"),
+                    os.path.join(voc, "SegmentationClassAug"))
+    for dst in ("train_aug.txt", "val.txt"):
+        shutil.copy(
+            os.path.join(voc, "ImageSets", "Segmentation", "train.txt"),
+            os.path.join(voc, "ImageSets", "Segmentation", dst))
+
+    cfg = Config()
+    cfg.DIR = str(tmp_path / "voc_ckpt")
+    cfg.DATASET.root_dataset = root
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.dataset = "voc"
+    cfg.DEEPLAB.num_classes = 21
+    cfg.DEEPLAB.crop_size = 33
+    cfg.DEEPLAB.batch_size = 2
+    cfg.DEEPLAB.total_itrs = 2
+    cfg.DEEPLAB.val_interval = 2
+    state = main_deeplab.main(cfg, jnp.float32, max_steps=2)
+    assert int(state.step) == 2
