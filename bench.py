@@ -32,7 +32,8 @@ FULL_SIZE = (720, 1280)
 PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
 
 
-def main():
+def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
+         full_size=FULL_SIZE, n_imgs=16, n_iters=3):
     import os
 
     from open_world_semantic_segmentation_tpu.core.cache import enable
@@ -50,25 +51,24 @@ def main():
         dissum_conf,
     )
 
+    pyramid_shapes = pyramid or PYRAMID
     model = ModelBuilder.build_segmentation_model(
-        "resnet50dilated", "ppm_deepsup_embedding", num_class=13,
+        arch_encoder, "ppm_deepsup_embedding", num_class=13, fc_dim=fc_dim,
         dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    init_img = jnp.zeros((1, *PYRAMID[0], 3), jnp.float32)
+    init_img = jnp.zeros((1, *pyramid_shapes[0], 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), init_img)
 
     def eval_image(variables, pyramid):
         scores = None
         for img in pyramid:
-            out = model.apply(variables, img, seg_size=FULL_SIZE)
+            out = model.apply(variables, img, seg_size=full_size)
             s = out["scores"].astype(jnp.float32)
             scores = s if scores is None else scores + s
         scores = scores[0] / len(pyramid)
         conf = dissum_conf(scores)
         pred = jnp.argmax(scores, axis=-1)
         return jnp.sum(pred), jnp.nansum(conf)
-
-    n_imgs = 16
 
     def eval_stream(variables, pyramids):
         """Scan the full per-image pipeline over a stream of images inside
@@ -88,13 +88,12 @@ def main():
     fn = jax.jit(eval_stream)
     pyramids = tuple(
         jnp.asarray(rng.standard_normal((n_imgs, 1, h, w, 3)), jnp.float32)
-        for h, w in PYRAMID)
+        for h, w in pyramid_shapes)
 
     # warmup / compile
     p, c = fn(variables, pyramids)
     float(c), int(p)
 
-    n_iters = 3
     tic = time.perf_counter()
     for _ in range(n_iters):
         p, c = fn(variables, pyramids)
@@ -102,12 +101,14 @@ def main():
     dt = (time.perf_counter() - tic) / (n_iters * n_imgs)
 
     imgs_per_sec = 1.0 / dt
-    print(json.dumps({
+    line = json.dumps({
         "metric": "streethazards_ood_eval",
         "value": round(imgs_per_sec, 4),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / V100_BASELINE_IMGS_PER_SEC, 4),
-    }))
+    })
+    print(line)
+    return line
 
 
 if __name__ == "__main__":
