@@ -83,7 +83,7 @@ class TrainPipeline:
                  img_sizes=(300, 375, 450, 525, 600), img_max_size=1000,
                  padding_constant=8, segm_downsampling_rate=8,
                  random_flip=True, rec_dataset: Optional[str] = None,
-                 seed: int = 304, num_replicas: int = 1,
+                 seed: int = 304, num_hosts: int = 1, host_id: int = 0,
                  use_native: bool = True):
         # use_native: threaded C++ resample+normalize (native/image_ops.cpp);
         # matches PIL within uint8 quantization — fine for training, switch
@@ -101,8 +101,15 @@ class TrainPipeline:
         self.segm_down = segm_downsampling_rate
         self.random_flip = random_flip
         self.rec_dataset = rec_dataset
-        self.num_replicas = num_replicas
-        self.rng = np.random.default_rng(seed)
+        if num_hosts > 1:
+            from ..parallel.mesh import shard_index_space
+
+            # all hosts agree on the epoch permutation via the shared seed,
+            # then take disjoint contiguous shards
+            idx = shard_index_space(len(self.records), num_hosts, host_id,
+                                    shuffle_seed=seed)
+            self.records = [self.records[i] for i in idx]
+        self.rng = np.random.default_rng(seed + host_id)
         self._bucket = [[], []]
         self._cursor = 0
         self._order = list(range(len(self.records)))
@@ -201,7 +208,8 @@ class ValPipeline:
                  img_sizes=(300, 375, 450, 525, 600), img_max_size=1000,
                  padding_constant=8, rec_dataset: Optional[str] = None,
                  max_sample: int = -1, start_idx: int = -1,
-                 end_idx: int = -1, use_native: bool = False):
+                 end_idx: int = -1, use_native: bool = False,
+                 num_hosts: int = 1, host_id: int = 0):
         # use_native defaults OFF here: eval metric bit-parity requires the
         # exact PIL resample (native matches within uint8 quantization only)
         from . import native as native_ops
@@ -210,6 +218,13 @@ class ValPipeline:
             else None
         self.root = root_dataset
         self.records = parse_odgt(odgt, max_sample, start_idx, end_idx)
+        if num_hosts > 1:
+            # per-host contiguous shard of the sample index space
+            # (replaces the reference's dormant DistributedSampler)
+            from ..parallel.mesh import shard_index_space
+
+            idx = shard_index_space(len(self.records), num_hosts, host_id)
+            self.records = [self.records[i] for i in idx]
         self.img_sizes = tuple(img_sizes)
         self.img_max_size = img_max_size
         self.padding_constant = padding_constant

@@ -124,3 +124,29 @@ def test_prefetch_propagates_errors():
     it = prefetch_to_device(gen(), size=2)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_pipelines_shard_across_hosts(sh_root):
+    """Multi-host input sharding: hosts see disjoint (covering) records."""
+    pipes = [ValPipeline(sh_root, os.path.join(sh_root, "val.odgt"),
+                         img_sizes=(24,), num_hosts=2, host_id=h)
+             for h in range(2)]
+    names = [tuple(r["fpath_img"] for r in p.records) for p in pipes]
+    all_names = set(names[0]) | set(names[1])
+    full = ValPipeline(sh_root, os.path.join(sh_root, "val.odgt"),
+                       img_sizes=(24,))
+    assert all_names == {r["fpath_img"] for r in full.records}
+    assert len(names[0]) == len(names[1])
+
+    tp = [TrainPipeline(sh_root, os.path.join(sh_root, "train.odgt"),
+                        batch_per_gpu=1, img_sizes=(24,), img_max_size=80,
+                        num_hosts=2, host_id=h) for h in range(2)]
+    tr_names = [set(r["fpath_img"] for r in p.records) for p in tp]
+    full_tr = TrainPipeline(sh_root, os.path.join(sh_root, "train.odgt"),
+                            batch_per_gpu=1, img_sizes=(24,), img_max_size=80)
+    assert tr_names[0] | tr_names[1] == \
+        {r["fpath_img"] for r in full_tr.records}
+    # both host pipelines produce batches
+    for p in tp:
+        b = p.next_batch()
+        assert b["img_data"].shape[0] == 1
