@@ -1,0 +1,154 @@
+"""Streaming segmentation inference server.
+
+Minimal production-style serving for the streaming-inference path of
+BASELINE config #5: one jitted forward compiled at startup for a fixed
+input size, a single-worker HTTP front end (the TPU is serialized anyway),
+PNG label maps out.
+
+Endpoints:
+  GET  /healthz           -> {"status": "ok", "model": ..., "input": [H, W]}
+  POST /segment           -> body: image bytes (any PIL-readable format);
+                             response: PNG label map (uint8 class ids).
+                             Query ?scores=dissum returns a float16 npy
+                             anomaly-confidence map instead.
+
+Usage:
+  python -m open_world_semantic_segmentation_tpu.cli.serve \
+      --cfg configs/test_ood_street.yaml --port 8501 --height 720 --width 1280
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+from ._common import (
+    build_anomaly_model,
+    compute_dtype,
+    config_parser,
+    init_or_load_variables,
+)
+
+
+class Segmenter:
+    """Fixed-size jitted forward with PIL in / label-PNG out."""
+
+    def __init__(self, cfg, precision_dtype, height: int, width: int):
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.native import resize_normalize
+        from ..openset.scoring import dissum_conf
+
+        self.size = (height, width)
+        self.resize_normalize = resize_normalize
+        self.model = build_anomaly_model(cfg, train=False, use_softmax=True,
+                                         dtype=precision_dtype)
+        self.variables = init_or_load_variables(
+            cfg, self.model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        self.model_name = (f"{cfg.MODEL.arch_encoder}+"
+                           f"{cfg.MODEL.arch_decoder}")
+        self._lock = threading.Lock()
+
+        @jax.jit
+        def fwd(variables, img):
+            out = self.model.apply(variables, img, seg_size=self.size)
+            scores = out["scores"][0]
+            return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
+                    dissum_conf(scores).astype(jnp.float16))
+
+        self._fwd = fwd
+        # compile at startup
+        self._fwd(self.variables,
+                  jnp.zeros((1, height, width, 3), jnp.float32))
+
+    def segment(self, image_bytes: bytes):
+        import jax.numpy as jnp
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        arr = self.resize_normalize(np.asarray(img),
+                                    (self.size[0], self.size[1]))
+        with self._lock:  # the single chip serializes requests anyway
+            pred, conf = self._fwd(self.variables, jnp.asarray(arr[None]))
+        return np.asarray(pred), np.asarray(conf)
+
+
+def make_handler(segmenter: Segmenter):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                body = json.dumps({
+                    "status": "ok",
+                    "model": segmenter.model_name,
+                    "input": list(segmenter.size),
+                }).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if not self.path.startswith("/segment"):
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                pred, conf = segmenter.segment(data)
+            except Exception as e:  # malformed image etc.
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            if "scores=dissum" in self.path:
+                buf = io.BytesIO()
+                np.save(buf, conf)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            else:
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(pred, "L").save(buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png")
+
+    return Handler
+
+
+def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
+          width=1280):
+    segmenter = Segmenter(cfg, precision_dtype, height, width)
+    server = HTTPServer((host, port), make_handler(segmenter))
+    print(f"serving {segmenter.model_name} on http://{host}:{port} "
+          f"(input {height}x{width})", flush=True)
+    return server
+
+
+def main(argv=None):
+    parser = config_parser(__doc__)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8501)
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--width", type=int, default=1280)
+    args = parser.parse_args(argv)
+    from ._common import parse_config
+
+    cfg = parse_config(args)
+    server = serve(cfg, compute_dtype(args), args.host, args.port,
+                   args.height, args.width)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

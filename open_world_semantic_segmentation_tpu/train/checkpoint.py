@@ -69,3 +69,31 @@ def _merge_partial(target: dict, source: dict):
         else:
             out[k] = tv
     return out
+
+
+# ---------------------------------------------------------------------------
+# Orbax path: sharded/multi-host checkpoints
+
+
+def save_checkpoint_orbax(path: str, state):
+    """Save a (possibly sharded) pytree with orbax.
+
+    Unlike the pickle path (which gathers to host), orbax writes each shard
+    from its owning host — required for multi-host training state that does
+    not fit one host's memory. ``path`` must be a directory.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, target):
+    """Restore with the shardings/structure of ``target``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)

@@ -1,0 +1,72 @@
+"""Serving endpoint test: real HTTP round trip against the jitted model."""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from open_world_semantic_segmentation_tpu.core.config import Config
+from open_world_semantic_segmentation_tpu.cli import serve as serve_mod
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    srv = serve_mod.serve(cfg, jnp.float32, host="127.0.0.1", port=0,
+                          height=32, width=48)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["input"] == [32, 48]
+
+
+def test_segment_png_roundtrip(server):
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (60, 90, 3),
+                                          dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    req = urllib.request.Request(server + "/segment", data=buf.getvalue(),
+                                 method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        pred = np.array(Image.open(io.BytesIO(r.read())))
+    assert pred.shape == (32, 48)
+    assert pred.max() < 13
+
+
+def test_segment_scores_npy(server):
+    img = Image.new("RGB", (48, 32))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    req = urllib.request.Request(server + "/segment?scores=dissum",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        conf = np.load(io.BytesIO(r.read()))
+    assert conf.shape == (32, 48)
+    assert conf.dtype == np.float16
+
+
+def test_segment_malformed_input_400(server):
+    req = urllib.request.Request(server + "/segment", data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400

@@ -190,3 +190,31 @@ def test_remat_backbone_matches_plain():
     out_r = remat.apply(v, x)
     for a, b in zip(out_p, out_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip_sharded(tmp_path):
+    """Orbax save/restore of a mesh-sharded pytree (multi-host format)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from open_world_semantic_segmentation_tpu.parallel import make_mesh
+    from open_world_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+
+    mesh = make_mesh(8)
+    sharded = jax.device_put(np.arange(32.0).reshape(8, 4),
+                             NamedSharding(mesh, P("data")))
+    replicated = jax.device_put(np.ones(3, np.float32),
+                                NamedSharding(mesh, P()))
+    state = {"w": sharded, "b": replicated}
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+
+    target = {"w": jax.device_put(jnp.zeros((8, 4)),
+                                  NamedSharding(mesh, P("data"))),
+              "b": jax.device_put(jnp.zeros(3), NamedSharding(mesh, P()))}
+    restored = load_checkpoint_orbax(path, target)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(32.0).reshape(8, 4))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.ones(3))
+    # restored with the requested sharding
+    assert restored["w"].sharding.spec == P("data")
