@@ -111,7 +111,12 @@ class StreamSegMetrics:
     """
 
     def __init__(self, n_classes: int, hist_classes: int = 19):
-        self.n_classes = hist_classes
+        # the reference hard-codes 19 outright; for n_classes > 19 (VOC's 21)
+        # that makes its _fast_hist bincount overflow the 19x19 reshape the
+        # moment a prediction exceeds 18 — i.e. the reference's VOC metrics
+        # crash. Keep the quirk for n <= 19 (it affects which labels enter
+        # the matrix) and use the true class count beyond it.
+        self.n_classes = max(n_classes, hist_classes)
         self.confusion_matrix = np.zeros((self.n_classes, self.n_classes))
 
     def update(self, label_trues, label_preds):

@@ -1,6 +1,7 @@
 """Tests for segmentation metrics: IoU histograms, streaming confusion matrix."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from open_world_semantic_segmentation_tpu.metrics import (
@@ -84,3 +85,16 @@ def test_stream_metrics_results_match_manual():
     assert res["Overall Acc"] == 0.75
     # IoU: class0 = 1/2, class1 = 2/3
     assert np.isclose(res["Mean IoU"], (0.5 + 2 / 3) / 2)
+
+
+def test_stream_metrics_voc_21_classes_no_overflow():
+    """The reference's hard-coded 19 crashes on VOC (pred > 18 overflows the
+    19x19 bincount reshape); we use max(n_classes, 19)."""
+    m = StreamSegMetrics(21)
+    m.reset()
+    labels = np.array([[0, 20, 5]])
+    preds = np.array([[20, 20, 5]])
+    m.update(labels, preds)
+    res = m.get_results()
+    assert m.confusion_matrix.shape == (21, 21)
+    assert res["Overall Acc"] == pytest.approx(2 / 3)
