@@ -23,6 +23,7 @@ from ._common import (
     parse_config,
 )
 from ..data import ValPipeline
+from ..data.prefetch import iter_prefetch
 from ..openset import OODEvaluator
 
 
@@ -38,7 +39,10 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
         img_sizes=cfg.DATASET.imgSizes,
         img_max_size=cfg.DATASET.imgMaxSize,
         padding_constant=cfg.DATASET.padding_constant,
-        max_sample=max_images or -1)
+        max_sample=max_images or -1,
+        use_native=(precision_dtype != jnp.float32))
+    # background host decode/resample overlapped with device compute
+    loader = iter_prefetch(pipeline, depth=2 * max(1, batch_images))
 
     evaluator = OODEvaluator(
         model, variables,
@@ -49,11 +53,11 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
         visualize_dir=os.path.join(cfg.DIR, "result")
         if cfg.VAL.visualize else None)
     if batch_images > 1:
-        result = evaluator.evaluate_batched(pipeline,
+        result = evaluator.evaluate_batched(loader,
                                             batch_size=batch_images,
                                             progress=True)
     else:
-        result = evaluator.evaluate(pipeline, progress=False)
+        result = evaluator.evaluate(loader, progress=False)
     print("Evaluation Done!")
     return result
 

@@ -150,3 +150,17 @@ def test_pipelines_shard_across_hosts(sh_root):
     for p in tp:
         b = p.next_batch()
         assert b["img_data"].shape[0] == 1
+
+
+def test_iter_prefetch_order_and_errors():
+    from open_world_semantic_segmentation_tpu.data.prefetch import (
+        iter_prefetch)
+
+    assert list(iter_prefetch(range(9), depth=3)) == list(range(9))
+
+    def gen():
+        yield 1
+        raise RuntimeError("host decode failed")
+
+    with pytest.raises(RuntimeError, match="host decode failed"):
+        list(iter_prefetch(gen(), depth=2))
