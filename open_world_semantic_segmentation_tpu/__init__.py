@@ -26,3 +26,14 @@ Import alias convention: ``import open_world_semantic_segmentation_tpu as owss``
 """
 
 __version__ = "0.1.0"
+
+from . import core  # noqa: E402,F401
+from . import data  # noqa: E402,F401
+from . import fewshot  # noqa: E402,F401
+from . import metrics  # noqa: E402,F401
+from . import models  # noqa: E402,F401
+from . import openset  # noqa: E402,F401
+from . import ops  # noqa: E402,F401
+from . import parallel  # noqa: E402,F401
+from . import train  # noqa: E402,F401
+from . import utils  # noqa: E402,F401

@@ -98,3 +98,23 @@ def test_stream_metrics_voc_21_classes_no_overflow():
     res = m.get_results()
     assert m.confusion_matrix.shape == (21, 21)
     assert res["Overall Acc"] == pytest.approx(2 / 3)
+
+
+def test_root_package_exposes_subpackages():
+    import open_world_semantic_segmentation_tpu as owss
+
+    for name in ("core", "data", "fewshot", "metrics", "models", "openset",
+                 "ops", "parallel", "train", "utils"):
+        assert hasattr(owss, name)
+    assert owss.__version__
+
+
+def test_dtype_policy():
+    import jax.numpy as jnp
+    from open_world_semantic_segmentation_tpu.core import Policy
+
+    assert Policy.fast().compute_dtype == jnp.bfloat16
+    p = Policy.parity()
+    assert p.compute_dtype == jnp.float32
+    import jax
+    assert jax.config.jax_default_matmul_precision == "highest"
