@@ -196,3 +196,17 @@ def test_mobilenet_dilated_pipeline(sh_root, tmp_path):
     cfg.MODEL.fc_dim = 320
     result = eval_ood.main(cfg, jnp.float32, max_images=1)
     assert result["mean_iou"] >= 0.0
+
+
+def test_eval_ood_bdd_style_exclude_back(sh_root, tmp_path):
+    """BDD/LAF preset shape: 19 classes, out_labels=(1,), exclude_back."""
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    cfg.DATASET.num_class = 19
+    cfg.OOD.ood = "dissum"
+    cfg.OOD.out_labels = (1,)
+    cfg.OOD.exclude_back = True
+    result = eval_ood.main(cfg, jnp.float32, max_images=2)
+    assert result["class_iou"].shape == (19,)
+    assert result["auroc"] is not None  # synthetic labels include id 1
