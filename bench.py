@@ -33,7 +33,7 @@ PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
 
 
 def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
-         full_size=FULL_SIZE, n_imgs=16, n_iters=3):
+         full_size=FULL_SIZE, n_imgs=32, n_iters=2):
     import os
 
     from open_world_semantic_segmentation_tpu.core.cache import enable
