@@ -7,6 +7,7 @@ from .scoring import (
     background_conf,
     knn_cosine_conf,
     rec_cosine_conf,
+    rec_cosine_map,
     compute_conf,
     SCORING_METHODS,
 )

@@ -227,7 +227,10 @@ class OODEvaluator:
         for i, item in enumerate(loader):
             self.evaluate_item(item)
             if progress and (i + 1) % 10 == 0:
-                print(f"[{i + 1}] running mIoU-free progress", flush=True)
+                print(f"[{i + 1}] avg inference time: "
+                      f"{self.time_meter.average():.4f}s, "
+                      f"running accuracy: "
+                      f"{self.acc_meter.average() * 100:.2f}%", flush=True)
         return self.summary()
 
     def summary(self, verbose: bool = True) -> dict:

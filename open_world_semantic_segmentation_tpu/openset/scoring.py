@@ -108,15 +108,26 @@ def knn_cosine_conf(ft, seg_size=None, neighbor_size: int = 9,
     return out
 
 
-def rec_cosine_conf(msp, ft_orig, ft_rec, msp_threshold: float = 0.999,
-                    eps: float = 1e-8):
-    """Reconstruction scoring (eval_ood_rec.py:140-153): where MSP is
-    confident keep it, elsewhere use cosine similarity between normalized
-    original and reconstructed feature maps."""
+def rec_cosine_map(ft_orig, ft_rec, eps: float = 1e-8):
+    """Cosine-similarity map between original and reconstructed feature
+    maps at FEATURE resolution (eval_ood_rec.py:143-146: both 4096-d maps
+    are L2-normalized over channels, then ``cosine_similarity(dim=1)``).
+
+    Inputs are HWC (or NHWC); the reduction is over the trailing channel
+    axis. The caller upsamples the result to segSize — the reference
+    interpolates the COSINE map, not the selected conf
+    (eval_ood_rec.py:147)."""
     dot = jnp.sum(ft_orig * ft_rec, axis=-1)
     n1 = jnp.sqrt(jnp.sum(ft_orig * ft_orig, axis=-1))
     n2 = jnp.sqrt(jnp.sum(ft_rec * ft_rec, axis=-1))
-    cos = dot / jnp.maximum(n1 * n2, eps)
+    return dot / jnp.maximum(n1 * n2, eps)
+
+
+def rec_cosine_conf(msp, cos, msp_threshold: float = 0.999):
+    """Reconstruction confidence select (eval_ood_rec.py:149-150):
+    ``conf = msp*(msp>t) + cos*(msp<=t)``. BOTH maps must already be at
+    full (segSize) resolution — the select happens at full res against the
+    full-res MSP, never on resampled/selected maps."""
     return jnp.where(msp > msp_threshold, msp, cos)
 
 

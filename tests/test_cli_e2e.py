@@ -58,7 +58,7 @@ def test_train_embedding_then_eval_ood(sh_root, tmp_path, capsys):
     # eval from the saved checkpoint
     cfg2 = cfg.clone()
     cfg2.DATASET.root_dataset = sh_root
-    cfg2.MODEL.weights_encoder = ckpt.replace(".pth", ".pkl")
+    cfg2.MODEL.weights_encoder = ckpt
     cfg2.OOD.ood = "dissum"
     result = eval_ood.main(cfg2, jnp.float32, max_images=2)
     out = capsys.readouterr().out

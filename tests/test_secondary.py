@@ -188,3 +188,70 @@ def test_main_deeplab_voc(tmp_path):
     cfg.DEEPLAB.val_interval = 2
     state = main_deeplab.main(cfg, jnp.float32, max_steps=2)
     assert int(state.step) == 2
+
+
+@pytest.mark.parametrize("exclude_back", [False, True])
+def test_rec_combine_matches_reference_formula(exclude_back):
+    """Oracle: torch transliteration of the reference rec branch
+    (anomaly/eval_ood_rec.py:95-150) vs cli.eval_ood_rec.rec_combine —
+    per-scale ft resize-to-segSize/4 averaging, normalize+cosine at
+    feature res, cosine upsample to segSize, bare-max MSP (no second
+    softmax), full-resolution select at t=0.999."""
+    import torch
+    import torch.nn.functional as F
+
+    from open_world_semantic_segmentation_tpu.cli.eval_ood_rec import (
+        rec_combine,
+    )
+
+    rng = np.random.default_rng(42)
+    seg_size = (32, 48)
+    K, C = 5, 16
+    ft_shapes = [(8, 12), (6, 9), (4, 6)]
+    n = len(ft_shapes)
+
+    # per-scale softmaxed score maps at segSize (use_softmax=True decoder)
+    raw = [rng.standard_normal((1, K, *seg_size)).astype(np.float32) * 4
+           for _ in range(n)]
+    scores_nchw = [torch.softmax(torch.from_numpy(r), dim=1) for r in raw]
+    ft_o_nchw = [torch.from_numpy(
+        rng.standard_normal((1, C, h, w)).astype(np.float32))
+        for h, w in ft_shapes]
+    ft_r_nchw = [torch.from_numpy(
+        rng.standard_normal((1, C, h, w)).astype(np.float32))
+        for h, w in ft_shapes]
+
+    # ---- reference transliteration (eval_ood_rec.py:95-150) ----
+    scores = torch.zeros(1, K, *seg_size)
+    ft1 = torch.zeros(1, C, int(seg_size[0] / 4), int(seg_size[1] / 4))
+    ft2 = torch.zeros_like(ft1)
+    for s in scores_nchw:
+        scores = scores + s / n
+    for f in ft_o_nchw:
+        ft1 = ft1 + F.interpolate(f, size=ft1.shape[2:], mode="bilinear",
+                                  align_corners=False) / n
+    for f in ft_r_nchw:
+        ft2 = ft2 + F.interpolate(f, size=ft2.shape[2:], mode="bilinear",
+                                  align_corners=False) / n
+    tmp_scores = scores[:, 1:] if exclude_back else scores
+    msp, _ = torch.max(tmp_scores, dim=1)
+    msp = msp.squeeze(0)
+    ft1 = F.normalize(ft1, dim=1)
+    ft2 = F.normalize(ft2, dim=1)
+    ft_dist = F.cosine_similarity(ft1, ft2, dim=1).unsqueeze(1)
+    ft_dist = F.interpolate(ft_dist, size=seg_size, mode="bilinear",
+                            align_corners=False)[0, 0]
+    t = 0.999
+    conf_ref = msp * (msp > t).float() + ft_dist * (msp <= t).float()
+    _, pred_ref = torch.max(scores, dim=1)
+
+    # ---- repo path (NHWC) ----
+    to_nhwc = lambda x: jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    conf, pred = rec_combine([to_nhwc(s) for s in scores_nchw],
+                             [to_nhwc(f) for f in ft_o_nchw],
+                             [to_nhwc(f) for f in ft_r_nchw],
+                             seg_size, exclude_back)
+
+    np.testing.assert_allclose(np.asarray(conf), conf_ref.numpy(),
+                               atol=2e-6, rtol=1e-5)
+    assert (np.asarray(pred) == pred_ref.squeeze(0).numpy()).all()
