@@ -11,5 +11,6 @@ from .scoring import (
     compute_conf,
     SCORING_METHODS,
 )
+from .crf import bilateral_crf_conf, gaussian_crf_conf
 from .evaluator import OODEvaluator, multi_scale_forward
 from .fishyscapes import make_estimator, run_bdlb

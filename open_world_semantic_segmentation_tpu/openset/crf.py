@@ -17,8 +17,19 @@ kernel normalization):
     Q <- softmax(log p_unary + compat * norm(G * (norm * Q)))
 with norm = 1/sqrt(G * 1); see gaussian_crf for the stability notes.
 
-The bilateral ``crf`` variant needs feature-space (color) kernels; it
-dispatches to pydensecrf when installed and raises otherwise.
+``bilateral_crf`` is the TPU-native equivalent of the reference's ``crf``
+variant (create_pairwise_bilateral(sdims=(10,10), schan=13,
+img=softmax_scores, chdim=0), compat=10): the pairwise features are
+(pos/10, probs/13), so the range part of the kernel is
+``exp(-||s_i||²/2)·exp(-||s_j||²/2)·exp(s_i·s_j)`` with ``||s|| <= 1/13``.
+Expanding ``exp(s_i·s_j) = 1 + s_i·s_j + O(2e-5)`` (exact to below fp32
+conv noise at these magnitudes) turns the dense bilateral filter into K+1
+separable spatial Gaussian blurs — all depthwise convolutions, no
+permutohedral lattice, no scatter. The lattice the reference uses is
+itself an approximation with larger error than this expansion.
+
+``densecrf_conf`` remains as an optional cross-check against pydensecrf
+when that package is installed.
 """
 
 from __future__ import annotations
@@ -94,6 +105,59 @@ def gaussian_crf_conf(probs, sxy: float = 3.0, compat: float = 3.0,
                       iters: int = 100):
     """conf = max_k Q, pred = argmax_k Q (eval_ood_traditional.py:505-510)."""
     q = gaussian_crf(probs, sxy, compat, iters)
+    return jnp.max(q, axis=-1), jnp.argmax(q, axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sxy", "schan", "compat", "iters"))
+def bilateral_crf(probs, sxy: float = 10.0, schan: float = 13.0,
+                  compat: float = 10.0, iters: int = 100):
+    """Mean-field refined Q with the reference's bilateral kernel
+    (eval_ood_traditional.py:471-487) — fully native, no pydensecrf.
+
+    ``probs``: unary softmax (H, W, K). The bilateral range features are
+    the SCORE MAP itself scaled by 1/schan (the reference passes
+    ``img=tmp_scores, chdim=0``), fixed across iterations; only the
+    spatial blurs of the iterate are recomputed. Low-rank expansion of the
+    range kernel (see module docstring):
+
+        k(i,j) = g(i-j) · phi_i phi_j (1 + s_i·s_j) + O(2e-5),
+        phi = exp(-||s||²/2)
+
+    so one kernel application is a blur of ``phi·x`` plus a blur of the
+    (K·C)-channel outer product ``s_d·phi·x_c`` contracted against
+    ``s_i`` — separable depthwise convolutions end to end. Symmetric
+    normalization identical to :func:`gaussian_crf`.
+    """
+    s = probs / schan
+    phi = jnp.exp(-0.5 * jnp.sum(s * s, axis=-1, keepdims=True))
+    log_unary = jnp.log(jnp.maximum(probs, 1e-20))
+    k = s.shape[-1]
+
+    def kfilter(x):
+        px = phi * x
+        first = _blur(px, sxy)
+        c = x.shape[-1]
+        outer = (s[..., :, None] * px[..., None, :]).reshape(
+            x.shape[:2] + (k * c,))
+        blurred = _blur(outer, sxy).reshape(x.shape[:2] + (k, c))
+        second = jnp.einsum("hwk,hwkc->hwc", s, blurred)
+        return phi * (first + second)
+
+    ones = jnp.ones(probs.shape[:2] + (1,), probs.dtype)
+    inv_sqrt_m = 1.0 / jnp.sqrt(jnp.maximum(kfilter(ones), 1e-12))
+
+    def body(_, q):
+        msg = kfilter(q * inv_sqrt_m) * inv_sqrt_m
+        return jax.nn.softmax(log_unary + compat * msg, axis=-1)
+
+    return jax.lax.fori_loop(0, iters, body, probs)
+
+
+def bilateral_crf_conf(probs, sxy: float = 10.0, schan: float = 13.0,
+                       compat: float = 10.0, iters: int = 100):
+    """conf = max_k Q, pred = argmax_k Q (eval_ood_traditional.py:486-490)."""
+    q = bilateral_crf(probs, sxy, schan, compat, iters)
     return jnp.max(q, axis=-1), jnp.argmax(q, axis=-1)
 
 

@@ -166,11 +166,18 @@ def compute_conf(scores, method: str, *, ft=None, exclude_back: bool = False,
     if method == "crf-gauss":
         from .crf import gaussian_crf_conf
 
-        conf, _ = gaussian_crf_conf(jax.nn.softmax(scores, axis=-1))
+        # the reference softmaxes the (optionally back-excluded) scores
+        # as the CRF unary (eval_ood_traditional.py:496-497)
+        probs = jax.nn.softmax(_exclude_back(scores, exclude_back), axis=-1)
+        conf, _ = gaussian_crf_conf(probs)
         return conf
     if method == "crf":
-        raise NotImplementedError(
-            "bilateral CRF requires the external pydensecrf package; use "
-            "openset.crf.densecrf_conf on host, or OOD.ood=crf-gauss for "
-            "the native TPU mean-field variant")
+        from .crf import bilateral_crf_conf
+
+        # bilateral kernel on (position/10, probs/13) features — the
+        # reference feeds the softmax score map itself as the bilateral
+        # "image" (eval_ood_traditional.py:471-482)
+        probs = jax.nn.softmax(_exclude_back(scores, exclude_back), axis=-1)
+        conf, _ = bilateral_crf_conf(probs)
+        return conf
     raise ValueError(f"unknown OOD method {method}")

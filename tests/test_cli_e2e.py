@@ -69,7 +69,8 @@ def test_train_embedding_then_eval_ood(sh_root, tmp_path, capsys):
 def test_eval_ood_all_methods(sh_root, tmp_path):
     from open_world_semantic_segmentation_tpu.cli import eval_ood
 
-    for method in ("msp", "maxlogit", "background", "knn", "crf-gauss"):
+    for method in ("msp", "maxlogit", "background", "knn", "crf-gauss",
+                   "crf"):
         cfg = _anomaly_cfg(sh_root, tmp_path)
         cfg.OOD.ood = method
         result = eval_ood.main(cfg, jnp.float32, max_images=1)
