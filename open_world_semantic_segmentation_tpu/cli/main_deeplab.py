@@ -175,7 +175,10 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
     best_score = 0.0
     interval_loss = 0.0
     cur_itrs = int(state.step)
-    loader = batch_iterator(train_ds, d.batch_size, seed=d.random_seed)
+    loader = batch_iterator(train_ds, d.batch_size, seed=d.random_seed,
+                            # disjoint covering per-host input shards
+                            num_hosts=jax.process_count(),
+                            host_id=jax.process_index())
     for batch in loader:
         cur_itrs += 1
         state, m = step_fn(state, collate_to_batch(batch))

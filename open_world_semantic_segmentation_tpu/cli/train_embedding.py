@@ -72,7 +72,11 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
         padding_constant=cfg.DATASET.padding_constant,
         segm_downsampling_rate=cfg.DATASET.segm_downsampling_rate,
         random_flip=cfg.DATASET.random_flip,
-        seed=cfg.TRAIN.seed)
+        seed=cfg.TRAIN.seed,
+        # multi-host SPMD: each host reads a disjoint covering shard of
+        # the (seed-shared) record permutation
+        num_hosts=jax.process_count(),
+        host_id=jax.process_index())
 
     step_fn = make_anomaly_train_step(
         model, alpha=0.01, rng=jax.random.PRNGKey(cfg.TRAIN.seed),

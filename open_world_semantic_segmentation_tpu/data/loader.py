@@ -27,16 +27,30 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                    seed: int = 1, drop_last: bool = True,
                    collate: Callable = default_collate,
                    num_workers: int = 8,
-                   epochs: Optional[int] = None) -> Iterator:
-    """Yield collated batches; loops over epochs (None = forever)."""
-    rng = np.random.default_rng(seed)
+                   epochs: Optional[int] = None,
+                   num_hosts: int = 1, host_id: int = 0) -> Iterator:
+    """Yield collated batches; loops over epochs (None = forever).
+
+    With ``num_hosts > 1`` each host draws a disjoint covering shard of a
+    permutation every host agrees on (seeded by ``seed + epoch``) — the
+    SPMD replacement for torch's DistributedSampler
+    (anomaly/lib/utils/data/distributed.py:7).
+    """
     n = len(dataset)
     epoch = 0
     pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers else None
     try:
         while epochs is None or epoch < epochs:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            for start in range(0, n, batch_size):
+            if num_hosts > 1:
+                from ..parallel.mesh import shard_index_space
+
+                order = shard_index_space(
+                    n, num_hosts, host_id,
+                    shuffle_seed=(seed + epoch) if shuffle else None)
+            else:
+                order = (np.random.default_rng(seed + epoch).permutation(n)
+                         if shuffle else np.arange(n))
+            for start in range(0, len(order), batch_size):
                 idx = order[start:start + batch_size]
                 if len(idx) < batch_size and drop_last:
                     continue

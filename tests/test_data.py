@@ -164,3 +164,33 @@ def test_iter_prefetch_order_and_errors():
 
     with pytest.raises(RuntimeError, match="host decode failed"):
         list(iter_prefetch(gen(), depth=2))
+
+
+def test_batch_iterator_shards_across_hosts():
+    """Driver-level multi-host input: the DeepLab batch_iterator's host
+    shards are disjoint, cover the dataset, and share the per-epoch
+    permutation (the SPMD DistributedSampler replacement the drivers now
+    pass process_count/index into)."""
+    from open_world_semantic_segmentation_tpu.data.loader import (
+        batch_iterator,
+    )
+
+    data = list(range(12))
+    per_host = []
+    for host in range(2):
+        it = batch_iterator(data, 2, seed=7, epochs=2, num_workers=0,
+                            num_hosts=2, host_id=host)
+        per_host.append([int(x) for b in it for x in b])
+    # each epoch: disjoint covering shards
+    for ep in range(2):
+        a = per_host[0][ep * 6:(ep + 1) * 6]
+        b = per_host[1][ep * 6:(ep + 1) * 6]
+        assert set(a) | set(b) == set(data)
+        assert not set(a) & set(b)
+    # epochs use different shared permutations
+    assert per_host[0][:6] != per_host[0][6:]
+
+    # single-host stream is unchanged in coverage
+    full = [int(x) for b in batch_iterator(data, 2, seed=7, epochs=1,
+                                           num_workers=0) for x in b]
+    assert sorted(full) == data
