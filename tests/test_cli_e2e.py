@@ -211,3 +211,89 @@ def test_eval_ood_bdd_style_exclude_back(sh_root, tmp_path):
     result = eval_ood.main(cfg, jnp.float32, max_images=2)
     assert result["class_iou"].shape == (19,)
     assert result["auroc"] is not None  # synthetic labels include id 1
+
+
+def test_make_odgt_laf_empty_label_filter(tmp_path):
+    """LAF walker: leftImg8bit->gtCoarse_labelIds name mapping, missing
+    annotations skipped, single-valued (empty) label images filtered
+    (create_dataset.py:202-273)."""
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli import make_odgt
+
+    root = str(tmp_path / "laf")
+    img_dir = os.path.join(root, "leftImg8bit", "test", "city01")
+    ann_dir = os.path.join(root, "gtCoarse", "test", "city01")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    rng = np.random.default_rng(0)
+
+    def put(name, label):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, name + "_leftImg8bit.png"))
+        if label is not None:
+            Image.fromarray(label).save(
+                os.path.join(ann_dir, name + "_gtCoarse_labelIds.png"))
+
+    varied = rng.integers(0, 3, (16, 24), dtype=np.uint8)
+    put("01_seq_000001_000010", varied)          # kept
+    put("01_seq_000002_000020", np.zeros((16, 24), np.uint8))  # empty label
+    put("01_seq_000003_000030", None)            # no annotation
+    make_odgt.main(["laf", "--root", root,
+                    "--img-dir", "leftImg8bit/test",
+                    "--ann-dir", "gtCoarse/test", "--out", "laf.odgt"])
+    with open(os.path.join(root, "laf.odgt")) as f:
+        records = json.load(f)
+    assert len(records) == 1
+    assert records[0]["fpath_img"].endswith(
+        "01_seq_000001_000010_leftImg8bit.png")
+    assert records[0]["fpath_segm"].endswith(
+        "01_seq_000001_000010_gtCoarse_labelIds.png")
+
+
+def test_make_odgt_roadanomaly(tmp_path):
+    """RoadAnomaly walker: frames/<x>.jpg with
+    <x>.labels/labels_semantic.png (create_dataset.py:163-195)."""
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli import make_odgt
+
+    root = str(tmp_path / "ra")
+    frames = os.path.join(root, "frames")
+    os.makedirs(os.path.join(frames, "scene01.labels"))
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)).save(
+        os.path.join(frames, "scene01.jpg"))
+    Image.fromarray(rng.integers(0, 3, (16, 24), dtype=np.uint8)).save(
+        os.path.join(frames, "scene01.labels", "labels_semantic.png"))
+    # jpg without labels dir -> skipped
+    Image.fromarray(rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)).save(
+        os.path.join(frames, "scene02.jpg"))
+    make_odgt.main(["roadanomaly", "--root", root, "--img-dir", "frames",
+                    "--out", "ra.odgt"])
+    with open(os.path.join(root, "ra.odgt")) as f:
+        records = json.load(f)
+    assert len(records) == 1
+    assert records[0]["fpath_img"] == os.path.join("frames", "scene01.jpg")
+    assert records[0]["fpath_segm"] == os.path.join(
+        "frames", "scene01.labels", "labels_semantic.png")
+
+
+def test_make_odgt_convert_bdd_remap(tmp_path):
+    """BDD in-place remap (create_dataset.py:131-154): 255->-1, the
+    16<->18 swap via the 19 temp, then +1 — i.e. 255->0, 16->19, 18->17,
+    everything else shifted up by one."""
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli import make_odgt
+
+    root = str(tmp_path / "bdd")
+    ann = os.path.join(root, "labels")
+    os.makedirs(ann)
+    src = np.array([[0, 1, 15, 16], [17, 18, 255, 5]], dtype=np.uint8)
+    Image.fromarray(src).save(os.path.join(ann, "a.png"))
+    make_odgt.main(["convert-bdd", "--root", root, "--ann-dir", "labels"])
+    got = np.array(Image.open(os.path.join(ann, "a.png")))
+    want = np.array([[1, 2, 16, 19], [18, 17, 0, 6]], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
