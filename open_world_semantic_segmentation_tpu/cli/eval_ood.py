@@ -28,7 +28,7 @@ from ..openset import OODEvaluator
 
 
 def main(cfg, precision_dtype=jnp.float32, max_images=None,
-         batch_images: int = 1):
+         batch_images: int = 1, device_metrics: bool = False):
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype)
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -51,7 +51,8 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
         out_labels=cfg.OOD.out_labels,
         exclude_back=cfg.OOD.exclude_back,
         visualize_dir=os.path.join(cfg.DIR, "result")
-        if cfg.VAL.visualize else None)
+        if cfg.VAL.visualize else None,
+        device_metrics=device_metrics)
     if batch_images > 1:
         result = evaluator.evaluate_batched(loader,
                                             batch_size=batch_images,
@@ -66,15 +67,21 @@ if __name__ == "__main__":
     parser = config_parser(__doc__)
     parser.add_argument("--batch-images", type=int, default=8,
                         help="images per device dispatch (1 = per-image)")
+    parser.add_argument("--device-metrics", action="store_true",
+                        help="compute AUROC/AUPR/FPR on-chip (fast path; "
+                             "the host f64 sweep is the parity default)")
     args = parser.parse_args()
     cfg = parse_config(args)
-    main(cfg, compute_dtype(args), batch_images=args.batch_images)
+    main(cfg, compute_dtype(args), batch_images=args.batch_images,
+         device_metrics=args.device_metrics)
 
 
 def _entry():
     parser = config_parser(__doc__)
     parser.add_argument("--batch-images", type=int, default=8)
+    parser.add_argument("--device-metrics", action="store_true")
     args = parser.parse_args()
     cfg = parse_config(args)
-    main(cfg, compute_dtype(args), batch_images=args.batch_images)
+    main(cfg, compute_dtype(args), batch_images=args.batch_images,
+         device_metrics=args.device_metrics)
 

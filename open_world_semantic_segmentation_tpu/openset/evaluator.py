@@ -60,7 +60,9 @@ class OODEvaluator:
 
     def __init__(self, model, variables, *, num_class: int,
                  method: str = "dissum", out_labels: Sequence[int] = (13,),
-                 exclude_back: bool = False, visualize_dir: Optional[str] = None):
+                 exclude_back: bool = False,
+                 visualize_dir: Optional[str] = None,
+                 device_metrics: bool = False):
         self.model = model
         self.variables = variables
         self.num_class = num_class
@@ -68,6 +70,11 @@ class OODEvaluator:
         self.out_labels = tuple(out_labels)
         self.exclude_back = exclude_back
         self.visualize_dir = visualize_dir
+        # device_metrics: compute AUROC/AUPR/FPR inside the jitted program
+        # (metrics.anom_device) so only scalars cross the host link — the
+        # throughput path for slow hosts / the tunneled chip. The host
+        # sweep (metrics.anom, f64 bit-parity) remains the default.
+        self.device_metrics = device_metrics
         self._compiled = {}
         self._raw = {}
 
@@ -78,8 +85,8 @@ class OODEvaluator:
         self.aurocs, self.auprs, self.fprs = [], [], []
 
     # ------------------------------------------------------------------
-    def _eval_fn(self, pyramid_shapes, seg_size):
-        key = (tuple(pyramid_shapes), tuple(seg_size))
+    def _eval_fn(self, pyramid_shapes, seg_size, include_conf: bool = True):
+        key = (tuple(pyramid_shapes), tuple(seg_size), include_conf)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -87,6 +94,8 @@ class OODEvaluator:
         exclude_back = self.exclude_back
         num_class = self.num_class
         model = self.model
+        device_metrics = self.device_metrics
+        out_labels = self.out_labels
 
         def fn(variables, pyramid, seg_label):
             scores, ft = multi_scale_forward(model, variables, pyramid,
@@ -103,7 +112,16 @@ class OODEvaluator:
             acc_sum = jnp.sum(valid & (pred == label))
             valid_sum = jnp.sum(valid)
             inter, union = intersection_and_union_jax(pred, label, num_class)
-            return conf, pred, inter, union, acc_sum, valid_sum
+            out = {"pred": pred, "inter": inter, "union": union,
+                   "acc_sum": acc_sum, "valid_sum": valid_sum}
+            if include_conf:
+                out["conf"] = conf
+            if device_metrics:
+                from ..metrics.anom_device import ood_measures_from_maps
+
+                out["ood"] = ood_measures_from_maps(conf, label,
+                                                    out_labels=out_labels)
+            return out
 
         self._raw[key] = fn
         jitted = jax.jit(fn)
@@ -118,38 +136,54 @@ class OODEvaluator:
         fn = self._eval_fn([p.shape for p in pyramid], seg_size)
 
         tic = time.perf_counter()
-        conf, pred, inter, union, acc_sum, valid_sum = fn(
-            self.variables, pyramid, seg_label)
-        conf = np.asarray(conf)  # blocks; device work complete here
+        outs = fn(self.variables, pyramid, seg_label)
+        conf = np.asarray(outs["conf"])  # blocks; device work complete here
         self.time_meter.update(time.perf_counter() - tic)
 
         seg_np = np.asarray(item["seg_label"][0])
-        res = eval_ood_measure(conf, seg_np, out_labels=self.out_labels)
-        if res is not None:
-            auroc, aupr, fpr = res
-            self.aurocs.append(auroc)
-            self.auprs.append(aupr)
-            self.fprs.append(fpr)
+        res = self._record_ood(outs, conf, seg_np)
 
-        acc = float(acc_sum) / (float(valid_sum) + 1e-10)
-        self.acc_meter.update(acc, int(valid_sum))
-        self.intersection_meter.update(np.asarray(inter))
-        self.union_meter.update(np.asarray(union))
+        acc = float(outs["acc_sum"]) / (float(outs["valid_sum"]) + 1e-10)
+        self.acc_meter.update(acc, int(outs["valid_sum"]))
+        self.intersection_meter.update(np.asarray(outs["inter"]))
+        self.union_meter.update(np.asarray(outs["union"]))
 
         if self.visualize_dir:
             from ..utils.visualize import save_result_grid
-            save_result_grid(item["img_ori"], seg_np, np.asarray(pred),
+            save_result_grid(item["img_ori"], seg_np,
+                             np.asarray(outs["pred"]),
                              item["info"], self.visualize_dir)
-        return {"conf": conf, "pred": np.asarray(pred), "acc": acc,
+        return {"conf": conf, "pred": np.asarray(outs["pred"]), "acc": acc,
                 "ood": res}
+
+    def _record_ood(self, outs, conf, seg_np):
+        """Append this image's OOD metrics — from the device program when
+        device_metrics is on, else the host f64 sweep."""
+        if self.device_metrics:
+            auroc, aupr, fpr, valid = outs["ood"]
+            if not bool(valid):
+                return None
+            res = (float(auroc), float(aupr), float(fpr))
+        else:
+            res = eval_ood_measure(conf, seg_np, out_labels=self.out_labels)
+            if res is None:
+                return None
+        self.aurocs.append(res[0])
+        self.auprs.append(res[1])
+        self.fprs.append(res[2])
+        return res
 
     # ------------------------------------------------------------------
     def _batched_fn(self, pyramid_shapes, seg_size):
+        # with device metrics on, the 3.7 MB/img conf map never leaves the
+        # chip — only the metric scalars and histograms do
+        include_conf = not self.device_metrics
         key = ("batched", tuple(pyramid_shapes), tuple(seg_size))
         if key in self._compiled:
             return self._compiled[key]
-        self._eval_fn(pyramid_shapes, seg_size)
-        item_fn = self._raw[(tuple(pyramid_shapes), tuple(seg_size))]
+        self._eval_fn(pyramid_shapes, seg_size, include_conf)
+        item_fn = self._raw[(tuple(pyramid_shapes), tuple(seg_size),
+                             include_conf)]
 
         def fn(variables, pyramids, seg_labels):
             def body(_, xs):
@@ -192,23 +226,35 @@ class OODEvaluator:
             seg_size = tuple(int(s) for s in seg_labels.shape[2:4])
             fn = self._batched_fn(shapes, seg_size)
             tic = time.perf_counter()
-            confs, preds, inters, unions, accs, valids = fn(
-                self.variables, pyramids, seg_labels)
-            confs = np.asarray(confs)
+            outs = fn(self.variables, pyramids, seg_labels)
+            # sync on the smallest output; device work complete after this
+            accs = np.asarray(outs["acc_sum"])
+            confs = (np.asarray(outs["conf"]) if "conf" in outs else None)
             dt = (time.perf_counter() - tic) / len(pending)
+            valids = np.asarray(outs["valid_sum"])
+            inters = np.asarray(outs["inter"])
+            unions = np.asarray(outs["union"])
+            oods = ([np.asarray(x) for x in outs["ood"]]
+                    if "ood" in outs else None)
             for i, it in enumerate(pending):
                 self.time_meter.update(dt)
-                seg_np = np.asarray(it["seg"][0])
-                res = eval_ood_measure(confs[i], seg_np,
-                                       out_labels=self.out_labels)
-                if res is not None:
-                    self.aurocs.append(res[0])
-                    self.auprs.append(res[1])
-                    self.fprs.append(res[2])
+                if oods is not None:
+                    if bool(oods[3][i]):
+                        self.aurocs.append(float(oods[0][i]))
+                        self.auprs.append(float(oods[1][i]))
+                        self.fprs.append(float(oods[2][i]))
+                else:
+                    seg_np = np.asarray(it["seg"][0])
+                    res = eval_ood_measure(confs[i], seg_np,
+                                           out_labels=self.out_labels)
+                    if res is not None:
+                        self.aurocs.append(res[0])
+                        self.auprs.append(res[1])
+                        self.fprs.append(res[2])
                 acc = float(accs[i]) / (float(valids[i]) + 1e-10)
                 self.acc_meter.update(acc, int(valids[i]))
-                self.intersection_meter.update(np.asarray(inters[i]))
-                self.union_meter.update(np.asarray(unions[i]))
+                self.intersection_meter.update(inters[i])
+                self.union_meter.update(unions[i])
             pending.clear()
 
         for item in loader:
