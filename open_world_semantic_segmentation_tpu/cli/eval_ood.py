@@ -28,7 +28,8 @@ from ..openset import OODEvaluator
 
 
 def main(cfg, precision_dtype=jnp.float32, max_images=None,
-         batch_images: int = 1, device_metrics: bool = False):
+         batch_images: int = 1, device_metrics: bool = False,
+         device_pyramid: bool = False):
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype)
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -40,7 +41,8 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
         img_max_size=cfg.DATASET.imgMaxSize,
         padding_constant=cfg.DATASET.padding_constant,
         max_sample=max_images or -1,
-        use_native=(precision_dtype != jnp.float32))
+        use_native=(precision_dtype != jnp.float32),
+        device_pyramid=device_pyramid)
     # background host decode/resample overlapped with device compute
     loader = iter_prefetch(pipeline, depth=2 * max(1, batch_images))
 

@@ -209,7 +209,8 @@ class ValPipeline:
                  padding_constant=8, rec_dataset: Optional[str] = None,
                  max_sample: int = -1, start_idx: int = -1,
                  end_idx: int = -1, use_native: bool = False,
-                 num_hosts: int = 1, host_id: int = 0):
+                 num_hosts: int = 1, host_id: int = 0,
+                 device_pyramid: bool = False):
         # use_native defaults OFF here: eval metric bit-parity requires the
         # exact PIL resample (native matches within uint8 quantization only)
         from . import native as native_ops
@@ -229,6 +230,7 @@ class ValPipeline:
         self.img_max_size = img_max_size
         self.padding_constant = padding_constant
         self.rec_dataset = rec_dataset
+        self.device_pyramid = device_pyramid
 
     def __len__(self):
         return len(self.records)
@@ -247,7 +249,7 @@ class ValPipeline:
         assert segm.mode == "L" and img.size == segm.size
 
         ow, oh = img.size
-        pyramid = []
+        shapes = []
         for short in self.img_sizes:
             scale = min(short / float(min(oh, ow)),
                         self.img_max_size / float(max(oh, ow)))
@@ -255,6 +257,26 @@ class ValPipeline:
                                         self.padding_constant)
             th = round2nearest_multiple(int(oh * scale),
                                         self.padding_constant)
+            shapes.append((th, tw))
+
+        out = {
+            "seg_label": segm_transform(segm)[None],
+            "info": rec["fpath_img"],
+            "name": os.path.join(*rec["fpath_img"].split("/")[-2:]),
+        }
+        if self.device_pyramid:
+            # throughput input path: ship ONE uint8 image; normalization
+            # and the pyramid resizes happen inside the jitted eval program
+            # (OODEvaluator builds them with ops.resize — torch-grid
+            # bilinear, NOT the PIL triangle filter, so scores deviate
+            # from the host path within resampling tolerance)
+            out["img_raw"] = np.asarray(img, np.uint8)[None]
+            out["pyramid_shapes"] = tuple(shapes)
+            out["img_ori"] = out["img_raw"][0]
+            return out
+
+        pyramid = []
+        for th, tw in shapes:
             if self.native is not None:
                 pyramid.append(
                     self.native.resize_normalize(np.asarray(img),
@@ -263,13 +285,9 @@ class ValPipeline:
                 resized = imresize(img, (tw, th), "bilinear")
                 pyramid.append(img_transform(resized)[None])
 
-        return {
-            "img_ori": np.array(img),
-            "img_data": pyramid,
-            "seg_label": segm_transform(segm)[None],
-            "info": rec["fpath_img"],
-            "name": os.path.join(*rec["fpath_img"].split("/")[-2:]),
-        }
+        out["img_ori"] = np.array(img)
+        out["img_data"] = pyramid
+        return out
 
     def __iter__(self):
         for i in range(len(self)):

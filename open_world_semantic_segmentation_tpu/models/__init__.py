@@ -12,6 +12,7 @@ from .deeplab import (
     deeplabv3plus_resnet50,
     deeplabv3_resnet101,
     deeplabv3plus_embedding_resnet101,
+    deeplabv3plus_embedding_resnet50,
     deeplabv3plus_embedding_self_distillation_resnet101,
     deeplabv3plus_mobilenet,
     deeplabv3_mobilenet,

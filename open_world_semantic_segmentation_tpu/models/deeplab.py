@@ -271,6 +271,17 @@ def deeplabv3plus_embedding_resnet101(num_classes=16, output_stride=16,
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 
 
+def deeplabv3plus_embedding_resnet50(num_classes=16, output_stride=16,
+                                     train=False, dtype=jnp.float32):
+    """ResNet-50 variant of the embedding model. The reference only ships
+    the resnet101 composition (network/modeling.py:140-148); this is the
+    same head on the lighter backbone — an API extension, not a port."""
+    bb = _resnet_backbone(50, output_stride, train, dtype)
+    head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
+                             train=train, dtype=dtype, name="head")
+    return DeepLabV3PlusEmbedding(backbone=bb, head=head)
+
+
 def deeplabv3plus_embedding_self_distillation_resnet101(
         num_classes=16, cls_novel=1, output_stride=16, train=False,
         dtype=jnp.float32):

@@ -55,6 +55,21 @@ def multi_scale_forward(model, variables, pyramid, seg_size,
     return scores, ft
 
 
+def device_pyramid(img_raw, shapes):
+    """Build the multi-scale eval pyramid ON DEVICE from one uint8 image
+    (the ValPipeline(device_pyramid=True) input path): normalize with the
+    ImageNet stats, then resize to each pyramid shape with the torch-grid
+    bilinear (ops.resize). Cuts the slow-host preprocessing to a bare
+    decode; scores deviate from the PIL host path within resampling
+    tolerance."""
+    from ..data.odgt import IMAGENET_MEAN, IMAGENET_STD
+    from ..ops.resize import bilinear_resize
+
+    x = img_raw.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return [bilinear_resize(x, s) for s in shapes]
+
+
 class OODEvaluator:
     """Streaming evaluator with reference-format summaries."""
 
@@ -85,8 +100,10 @@ class OODEvaluator:
         self.aurocs, self.auprs, self.fprs = [], [], []
 
     # ------------------------------------------------------------------
-    def _eval_fn(self, pyramid_shapes, seg_size, include_conf: bool = True):
-        key = (tuple(pyramid_shapes), tuple(seg_size), include_conf)
+    def _eval_fn(self, pyramid_shapes, seg_size, include_conf: bool = True,
+                 raw_input: bool = False):
+        key = (tuple(tuple(s) for s in pyramid_shapes), tuple(seg_size),
+               include_conf, raw_input)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -96,8 +113,12 @@ class OODEvaluator:
         model = self.model
         device_metrics = self.device_metrics
         out_labels = self.out_labels
+        shapes = tuple(tuple(s) for s in pyramid_shapes)
 
         def fn(variables, pyramid, seg_label):
+            if raw_input:
+                # ``pyramid`` is the raw uint8 image; build scales on-chip
+                pyramid = device_pyramid(pyramid, shapes)
             scores, ft = multi_scale_forward(model, variables, pyramid,
                                              seg_size,
                                              want_ft=(method == "knn"))
@@ -130,10 +151,15 @@ class OODEvaluator:
 
     # ------------------------------------------------------------------
     def evaluate_item(self, item: dict):
-        pyramid = [jnp.asarray(lvl) for lvl in item["img_data"]]
         seg_label = jnp.asarray(item["seg_label"])
         seg_size = tuple(int(s) for s in seg_label.shape[1:3])
-        fn = self._eval_fn([p.shape for p in pyramid], seg_size)
+        if "img_raw" in item:
+            pyramid = jnp.asarray(item["img_raw"])
+            fn = self._eval_fn(item["pyramid_shapes"], seg_size,
+                               raw_input=True)
+        else:
+            pyramid = [jnp.asarray(lvl) for lvl in item["img_data"]]
+            fn = self._eval_fn([p.shape for p in pyramid], seg_size)
 
         tic = time.perf_counter()
         outs = fn(self.variables, pyramid, seg_label)
@@ -174,21 +200,23 @@ class OODEvaluator:
         return res
 
     # ------------------------------------------------------------------
-    def _batched_fn(self, pyramid_shapes, seg_size):
+    def _batched_fn(self, pyramid_shapes, seg_size, raw_input: bool = False):
         # with device metrics on, the 3.7 MB/img conf map never leaves the
         # chip — only the metric scalars and histograms do
         include_conf = not self.device_metrics
-        key = ("batched", tuple(pyramid_shapes), tuple(seg_size))
+        key = ("batched", tuple(pyramid_shapes), tuple(seg_size), raw_input)
         if key in self._compiled:
             return self._compiled[key]
-        self._eval_fn(pyramid_shapes, seg_size, include_conf)
-        item_fn = self._raw[(tuple(pyramid_shapes), tuple(seg_size),
-                             include_conf)]
+        self._eval_fn(pyramid_shapes, seg_size, include_conf, raw_input)
+        item_fn = self._raw[(tuple(tuple(s) for s in pyramid_shapes),
+                             tuple(seg_size), include_conf, raw_input)]
 
         def fn(variables, pyramids, seg_labels):
             def body(_, xs):
                 pyr, label = xs
-                return None, item_fn(variables, list(pyr), label)
+                if not raw_input:
+                    pyr = list(pyr)
+                return None, item_fn(variables, pyr, label)
 
             _, outs = jax.lax.scan(body, None, (pyramids, seg_labels))
             return outs
@@ -212,19 +240,31 @@ class OODEvaluator:
         def flush():
             if not pending:
                 return
-            shapes = tuple(tuple(p.shape) for p in pending[0]["pyr"])
-            if any(tuple(tuple(p.shape) for p in it["pyr"]) != shapes
-                   for it in pending[1:]):
+            raw_mode = "raw" in pending[0]
+            if raw_mode:
+                shapes = pending[0]["shapes"]
+                same = all(("raw" in it and it["shapes"] == shapes
+                            and it["raw"].shape == pending[0]["raw"].shape)
+                           for it in pending[1:])
+            else:
+                shapes = tuple(tuple(p.shape) for p in pending[0]["pyr"])
+                same = all(("pyr" in it
+                            and tuple(tuple(p.shape) for p in it["pyr"])
+                            == shapes) for it in pending[1:])
+            if not same:
                 for it in pending:
                     self.evaluate_item(it["item"])
                 pending.clear()
                 return
-            pyramids = tuple(
-                jnp.stack([it["pyr"][lvl] for it in pending])
-                for lvl in range(len(shapes)))
+            if raw_mode:
+                pyramids = jnp.stack([it["raw"] for it in pending])
+            else:
+                pyramids = tuple(
+                    jnp.stack([it["pyr"][lvl] for it in pending])
+                    for lvl in range(len(shapes)))
             seg_labels = jnp.stack([it["seg"] for it in pending])
             seg_size = tuple(int(s) for s in seg_labels.shape[2:4])
-            fn = self._batched_fn(shapes, seg_size)
+            fn = self._batched_fn(shapes, seg_size, raw_input=raw_mode)
             tic = time.perf_counter()
             outs = fn(self.variables, pyramids, seg_labels)
             # sync on the smallest output; device work complete after this
@@ -258,11 +298,15 @@ class OODEvaluator:
             pending.clear()
 
         for item in loader:
-            pending.append({
-                "item": item,
-                "pyr": [jnp.asarray(lvl) for lvl in item["img_data"]],
-                "seg": jnp.asarray(item["seg_label"]),
-            })
+            entry = {"item": item, "seg": jnp.asarray(item["seg_label"])}
+            if "img_raw" in item:
+                entry["raw"] = jnp.asarray(item["img_raw"])
+                entry["shapes"] = tuple(tuple(s)
+                                        for s in item["pyramid_shapes"])
+            else:
+                entry["pyr"] = [jnp.asarray(lvl)
+                                for lvl in item["img_data"]]
+            pending.append(entry)
             if len(pending) >= batch_size:
                 flush()
         flush()

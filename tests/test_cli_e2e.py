@@ -66,9 +66,21 @@ def test_train_embedding_then_eval_ood(sh_root, tmp_path, capsys):
     assert result["auroc"] is not None
 
 
-def test_eval_ood_all_methods(sh_root, tmp_path):
-    from open_world_semantic_segmentation_tpu.cli import eval_ood
+def test_eval_ood_all_methods(sh_root, tmp_path, monkeypatch):
+    import functools
 
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+    from open_world_semantic_segmentation_tpu.openset import crf as crf_mod
+
+    # this test checks driver plumbing for every method; the CRF mean-field
+    # numerics have dedicated oracle tests (test_crf.py), so 5 iterations
+    # instead of 100 keeps the single-CPU runtime sane
+    monkeypatch.setattr(crf_mod, "gaussian_crf_conf",
+                        functools.partial(crf_mod.gaussian_crf_conf,
+                                          iters=5))
+    monkeypatch.setattr(crf_mod, "bilateral_crf_conf",
+                        functools.partial(crf_mod.bilateral_crf_conf,
+                                          iters=5))
     for method in ("msp", "maxlogit", "background", "knn", "crf-gauss",
                    "crf"):
         cfg = _anomaly_cfg(sh_root, tmp_path)
@@ -108,8 +120,10 @@ def test_main_deeplab_train_and_validate(cs_root, tmp_path, capsys):
     from open_world_semantic_segmentation_tpu.cli import main_deeplab
 
     cfg = _deeplab_cfg(cs_root, tmp_path)
-    # embedding model so the open-world remap is active
-    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet101"
+    # embedding model so the open-world remap is active; resnet50 rather
+    # than 101 — half the CPU compile, same driver surface (the resnet101
+    # topology is covered by the parity suite)
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet50"
     state = main_deeplab.main(cfg, jnp.float32, max_steps=3)
     assert int(state.step) == 3
     assert os.path.exists(os.path.join(cfg.DIR, "latest.pkl"))

@@ -126,3 +126,48 @@ def test_evaluator_device_metrics_matches_host(tmp_path):
         for k in ("auroc", "aupr", "fpr", "mean_iou", "accuracy"):
             np.testing.assert_allclose(dev[k], host[k], atol=2e-5,
                                        err_msg=f"{k} batched={batched}")
+
+
+def test_device_pyramid_eval_close_to_host(tmp_path):
+    """ValPipeline(device_pyramid=True): one uint8 image crosses the link
+    and the pyramid is built in-program. Scores deviate from the PIL host
+    resample only within resampling tolerance — mIoU/accuracy and OOD
+    metrics must land close, and both batched/per-item paths must agree
+    with each other exactly."""
+    import os
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_synthetic_data import make_streethazards
+
+    from open_world_semantic_segmentation_tpu.data import ValPipeline
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.openset import OODEvaluator
+
+    root = make_streethazards(str(tmp_path / "sh"), n_val=2, h=48, w=64)
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 48, 64, 3), jnp.float32))
+
+    def run(device_pyramid, batched):
+        pipeline = ValPipeline(root, f"{root}/val.odgt", img_sizes=(24, 32),
+                               img_max_size=80,
+                               device_pyramid=device_pyramid)
+        ev = OODEvaluator(model, variables, num_class=13, method="dissum",
+                          out_labels=(13,), device_metrics=True)
+        if batched:
+            return ev.evaluate_batched(pipeline, batch_size=2)
+        return ev.evaluate(pipeline, progress=False)
+
+    host = run(False, False)
+    dev_item = run(True, False)
+    dev_batch = run(True, True)
+    for k in ("auroc", "aupr", "fpr", "mean_iou", "accuracy"):
+        np.testing.assert_allclose(dev_item[k], dev_batch[k], atol=1e-6,
+                                   err_msg=k)
+        # different resampler: close, not equal
+        assert abs(dev_item[k] - host[k]) < 0.2, (k, dev_item[k], host[k])
