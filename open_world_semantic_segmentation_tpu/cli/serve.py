@@ -7,10 +7,16 @@ PNG label maps out.
 
 Endpoints:
   GET  /healthz           -> {"status": "ok", "model": ..., "input": [H, W]}
+  GET  /metrics           -> request/error counts + latency stats (JSON)
   POST /segment           -> body: image bytes (any PIL-readable format);
                              response: PNG label map (uint8 class ids).
                              Query ?scores=dissum returns a float16 npy
                              anomaly-confidence map instead.
+
+Requests are handled on a thread per connection (ThreadingHTTPServer):
+host-side PIL decode and PNG encode for concurrent requests overlap, while
+the device lock serializes only the jitted forward (one chip executes one
+program at a time anyway).
 
 Usage:
   python -m open_world_semantic_segmentation_tpu.cli.serve \
@@ -22,7 +28,8 @@ from __future__ import annotations
 import io
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -53,6 +60,9 @@ class Segmenter:
         self.model_name = (f"{cfg.MODEL.arch_encoder}+"
                            f"{cfg.MODEL.arch_decoder}")
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "errors": 0,
+                      "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
 
         @jax.jit
         def fwd(variables, img):
@@ -70,12 +80,36 @@ class Segmenter:
         import jax.numpy as jnp
         from PIL import Image
 
-        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-        arr = self.resize_normalize(np.asarray(img),
-                                    (self.size[0], self.size[1]))
-        with self._lock:  # the single chip serializes requests anyway
-            pred, conf = self._fwd(self.variables, jnp.asarray(arr[None]))
-        return np.asarray(pred), np.asarray(conf)
+        tic = time.perf_counter()
+        try:
+            img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            arr = self.resize_normalize(np.asarray(img),
+                                        (self.size[0], self.size[1]))
+            # decode/resize above runs concurrently across request threads;
+            # only the device dispatch is serialized
+            with self._lock:
+                pred, conf = self._fwd(self.variables,
+                                       jnp.asarray(arr[None]))
+            pred, conf = np.asarray(pred), np.asarray(conf)
+        except Exception:
+            with self._stats_lock:
+                self.stats["errors"] += 1
+            raise
+        ms = (time.perf_counter() - tic) * 1e3
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["latency_ms_sum"] += ms
+            self.stats["latency_ms_max"] = max(
+                self.stats["latency_ms_max"], ms)
+        return pred, conf
+
+    def metrics(self) -> dict:
+        with self._stats_lock:
+            s = dict(self.stats)
+        n = s.pop("latency_ms_sum"), s["requests"]
+        s["latency_ms_avg"] = round(n[0] / n[1], 3) if n[1] else 0.0
+        s["latency_ms_max"] = round(s["latency_ms_max"], 3)
+        return s
 
 
 def make_handler(segmenter: Segmenter):
@@ -98,6 +132,9 @@ def make_handler(segmenter: Segmenter):
                     "input": list(segmenter.size),
                 }).encode()
                 self._send(200, body, "application/json")
+            elif self.path.startswith("/metrics"):
+                self._send(200, json.dumps(segmenter.metrics()).encode(),
+                           "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
@@ -129,7 +166,7 @@ def make_handler(segmenter: Segmenter):
 def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
           width=1280):
     segmenter = Segmenter(cfg, precision_dtype, height, width)
-    server = HTTPServer((host, port), make_handler(segmenter))
+    server = ThreadingHTTPServer((host, port), make_handler(segmenter))
     print(f"serving {segmenter.model_name} on http://{host}:{port} "
           f"(input {height}x{width})", flush=True)
     return server

@@ -70,3 +70,52 @@ def test_segment_malformed_input_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer: 8 simultaneous POSTs all succeed (decode/encode
+    overlap across threads, the device lock serializes the forward)."""
+    rng = np.random.default_rng(1)
+    payloads = []
+    for _ in range(8):
+        img = Image.fromarray(rng.integers(0, 255, (40, 64, 3),
+                                           dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+
+    results = [None] * len(payloads)
+
+    def post(i):
+        req = urllib.request.Request(server + "/segment", data=payloads[i],
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            results[i] = np.array(Image.open(io.BytesIO(r.read())))
+
+    threads = [threading.Thread(target=post, args=(i,))
+               for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for pred in results:
+        assert pred is not None and pred.shape == (32, 48)
+
+
+def test_metrics_endpoint(server):
+    # push one good and one malformed request so counts are self-contained
+    img = Image.new("RGB", (48, 32))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    urllib.request.urlopen(urllib.request.Request(
+        server + "/segment", data=buf.getvalue(), method="POST")).read()
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(urllib.request.Request(
+            server + "/segment", data=b"junk", method="POST"))
+
+    with urllib.request.urlopen(server + "/metrics") as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1
+    assert m["errors"] >= 1
+    assert m["latency_ms_avg"] > 0
+    assert m["latency_ms_max"] >= m["latency_ms_avg"]

@@ -218,3 +218,47 @@ def test_orbax_checkpoint_roundtrip_sharded(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["b"]), np.ones(3))
     # restored with the requested sharding
     assert restored["w"].sharding.spec == P("data")
+
+
+def test_orbax_resharded_restore(tmp_path):
+    """Multi-host elastic-restore scenario: a checkpoint written under one
+    mesh layout restores under a *different* one (orbax reshards on load).
+    Covers both directions: 1-D data-sharded save -> 2-D (data, spatial)
+    sharded restore, and sharded save -> fully replicated restore (the
+    single-host eval case)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from open_world_semantic_segmentation_tpu.parallel import (
+        make_mesh, make_spatial_mesh)
+    from open_world_semantic_segmentation_tpu.train.checkpoint import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+
+    mesh_a = make_mesh(8)
+    w = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+    state = {
+        "w": jax.device_put(w, NamedSharding(mesh_a, P("data"))),
+        "step": jax.device_put(np.int32(7), NamedSharding(mesh_a, P())),
+    }
+    path = str(tmp_path / "resharded_ckpt")
+    save_checkpoint_orbax(path, state)
+
+    # restore onto a 2-D mesh with a different partitioning of the same array
+    mesh_b = make_spatial_mesh(n_spatial=2, n_data=4)
+    target = {
+        "w": jax.device_put(jnp.zeros((8, 16)),
+                            NamedSharding(mesh_b, P("data", "spatial"))),
+        "step": jax.device_put(jnp.int32(0), NamedSharding(mesh_b, P())),
+    }
+    restored = load_checkpoint_orbax(path, target)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), w)
+    assert int(restored["step"]) == 7
+    assert restored["w"].sharding.spec == P("data", "spatial")
+
+    # and onto a fully replicated target (restore-for-eval)
+    target_rep = {
+        "w": jax.device_put(jnp.zeros((8, 16)), NamedSharding(mesh_a, P())),
+        "step": jax.device_put(jnp.int32(0), NamedSharding(mesh_a, P())),
+    }
+    restored_rep = load_checkpoint_orbax(path, target_rep)
+    np.testing.assert_array_equal(np.asarray(restored_rep["w"]), w)
+    assert restored_rep["w"].sharding.spec == P()
