@@ -33,7 +33,10 @@ PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
 
 
 def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
-         full_size=FULL_SIZE, n_imgs=32, n_iters=2):
+         full_size=FULL_SIZE, n_imgs=32, n_iters=2, quant="off",
+         quant_stages=None):
+    """``quant``: "off" is the reference-parity path the driver records;
+    "int8"/"int8-3x3" measure the opt-in PTQ mode (ops/quant.py)."""
     import os
 
     from open_world_semantic_segmentation_tpu.core.cache import enable
@@ -52,12 +55,28 @@ def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
     )
 
     pyramid_shapes = pyramid or PYRAMID
+    qkw = {} if quant_stages is None else {"quant_stages": quant_stages}
     model = ModelBuilder.build_segmentation_model(
         arch_encoder, "ppm_deepsup_embedding", num_class=13, fc_dim=fc_dim,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, quant=quant, **qkw)
     rng = np.random.default_rng(0)
     init_img = jnp.zeros((1, *pyramid_shapes[0], 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), init_img)
+    if quant != "off":
+        from open_world_semantic_segmentation_tpu.ops.quant import calibrate
+
+        m_cal = ModelBuilder.build_segmentation_model(
+            arch_encoder, "ppm_deepsup_embedding", num_class=13,
+            fc_dim=fc_dim, dtype=jnp.bfloat16, quant="calib", **qkw)
+        base = ModelBuilder.build_segmentation_model(
+            arch_encoder, "ppm_deepsup_embedding", num_class=13,
+            fc_dim=fc_dim, dtype=jnp.bfloat16)
+        variables = base.init(jax.random.PRNGKey(0), init_img)
+        cal_imgs = [rng.standard_normal(
+            (1, *pyramid_shapes[2], 3)).astype(np.float32)]
+        variables = calibrate(m_cal, dict(variables), cal_imgs,
+                              seg_size=full_size)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), init_img)
 
     def eval_image(variables, pyramid):
         scores = None

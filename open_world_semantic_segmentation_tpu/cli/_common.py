@@ -42,13 +42,13 @@ def compute_dtype(args):
 
 
 def build_anomaly_model(cfg: Config, *, train: bool, use_softmax: bool,
-                        dtype):
+                        dtype, quant: str = "off"):
     from ..models import ModelBuilder
 
     return ModelBuilder.build_segmentation_model(
         cfg.MODEL.arch_encoder, cfg.MODEL.arch_decoder,
         num_class=cfg.DATASET.num_class, fc_dim=cfg.MODEL.fc_dim,
-        use_softmax=use_softmax, train=train, dtype=dtype)
+        use_softmax=use_softmax, train=train, dtype=dtype, quant=quant)
 
 
 def init_or_load_variables(cfg: Config, model, example_img, *,

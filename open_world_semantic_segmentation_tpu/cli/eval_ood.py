@@ -29,11 +29,32 @@ from ..openset import OODEvaluator
 
 def main(cfg, precision_dtype=jnp.float32, max_images=None,
          batch_images: int = 1, device_metrics: bool = False,
-         device_pyramid: bool = False):
+         device_pyramid: bool = False, quant: str = "off",
+         calib_images: int = 4):
+    """``quant``: opt-in int8 PTQ inference ("int8"/"int8-3x3",
+    ops/quant.py) — activation scales are calibrated on the first
+    ``calib_images`` val images before evaluation. "off" (default) is the
+    reference-parity path."""
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
-                                dtype=precision_dtype)
+                                dtype=precision_dtype, quant=quant)
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = init_or_load_variables(cfg, model, example)
+    if quant != "off":
+        from ..ops.quant import calibrate
+
+        m_cal = build_anomaly_model(cfg, train=False, use_softmax=True,
+                                    dtype=precision_dtype, quant="calib")
+        cal_pipe = ValPipeline(
+            cfg.DATASET.root_dataset, cfg.DATASET.list_val,
+            img_sizes=cfg.DATASET.imgSizes,
+            img_max_size=cfg.DATASET.imgMaxSize,
+            padding_constant=cfg.DATASET.padding_constant,
+            max_sample=calib_images)
+        for item in cal_pipe:
+            mid = item["img_data"][len(item["img_data"]) // 2]
+            variables = calibrate(m_cal, dict(variables), [mid],
+                                  seg_size=item["seg_label"].shape[1:3])
+        print(f"int8 calibration done on {calib_images} images")
 
     pipeline = ValPipeline(
         cfg.DATASET.root_dataset, cfg.DATASET.list_val,
@@ -65,25 +86,23 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
     return result
 
 
-if __name__ == "__main__":
+def _entry():
     parser = config_parser(__doc__)
     parser.add_argument("--batch-images", type=int, default=8,
                         help="images per device dispatch (1 = per-image)")
     parser.add_argument("--device-metrics", action="store_true",
                         help="compute AUROC/AUPR/FPR on-chip (fast path; "
                              "the host f64 sweep is the parity default)")
+    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+                        default="off",
+                        help="opt-in int8 PTQ inference (ops/quant.py); "
+                             "bounded numeric drift, ~1.2-1.5x throughput")
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), batch_images=args.batch_images,
-         device_metrics=args.device_metrics)
+         device_metrics=args.device_metrics, quant=args.quant)
 
 
-def _entry():
-    parser = config_parser(__doc__)
-    parser.add_argument("--batch-images", type=int, default=8)
-    parser.add_argument("--device-metrics", action="store_true")
-    args = parser.parse_args()
-    cfg = parse_config(args)
-    main(cfg, compute_dtype(args), batch_images=args.batch_images,
-         device_metrics=args.device_metrics)
+if __name__ == "__main__":
+    _entry()
 

@@ -49,10 +49,19 @@ class ModelBuilder:
 
     @staticmethod
     def build_encoder(arch="resnet50dilated", fc_dim=2048, *, train=False,
-                      dtype=jnp.float32, bn: Optional[BNConfig] = None):
+                      dtype=jnp.float32, bn: Optional[BNConfig] = None,
+                      quant: str = "off", quant_stages=None):
         arch = arch.lower()
         bn = bn or BNConfig()
         kw = dict(train=train, dtype=dtype, bn=bn)
+        if quant != "off":
+            if not arch.startswith(("resnet", "resnext")):
+                raise ValueError(
+                    f"int8 quantization is wired for the ResNet/ResNeXt "
+                    f"families only (got {arch})")
+            kw["quant"] = quant
+            if quant_stages is not None:
+                kw["quant_stages"] = tuple(quant_stages)
         if arch == "mobilenetv2dilated":
             return MobileNetV2Dilated(output_stride=8, **kw)
         if arch == "resnet18":
@@ -76,12 +85,18 @@ class ModelBuilder:
     @staticmethod
     def build_decoder(arch="ppm_deepsup", fc_dim=512, num_class=150,
                       use_softmax=False, *, train=False, dtype=jnp.float32,
-                      bn: Optional[BNConfig] = None):
+                      bn: Optional[BNConfig] = None, quant: str = "off"):
         arch = arch.lower()
         kw = dict(num_class=num_class, fc_dim=fc_dim,
                   use_softmax=use_softmax, train=train, dtype=dtype)
         if bn is not None:
             kw["bn"] = bn
+        if quant != "off":
+            if not arch.startswith("ppm"):
+                raise ValueError(
+                    f"int8 quantization is wired for the PPM decoder "
+                    f"family only (got {arch})")
+            kw["quant"] = quant
         if arch == "c1_deepsup":
             return C1DeepSup(**kw)
         if arch == "c1":
@@ -102,11 +117,21 @@ class ModelBuilder:
     def build_segmentation_model(arch_encoder, arch_decoder, num_class,
                                  fc_dim=None, use_softmax=False, *,
                                  train=False, dtype=jnp.float32,
-                                 bn: Optional[BNConfig] = None):
+                                 bn: Optional[BNConfig] = None,
+                                 quant: str = "off", quant_stages=None):
+        """``quant``: "off" (reference parity), or the opt-in int8 PTQ flow
+        (ops/quant.py): build with "calib", run ops.quant.calibrate over a
+        few images, then rebuild with "int8" and apply with the calibrated
+        variables. Eval-only (train=True with quant is unsupported).
+        ``quant_stages`` overrides which encoder stages quantize (0-based;
+        default layers 2-4)."""
+        if quant != "off" and train:
+            raise ValueError("int8 PTQ is an inference-only mode")
         fc_dim = fc_dim or ModelBuilder.ENCODER_FC_DIM[arch_encoder.lower()]
         enc = ModelBuilder.build_encoder(arch_encoder, fc_dim, train=train,
-                                         dtype=dtype, bn=bn)
+                                         dtype=dtype, bn=bn, quant=quant,
+                                         quant_stages=quant_stages)
         dec = ModelBuilder.build_decoder(arch_decoder, fc_dim, num_class,
                                          use_softmax, train=train,
-                                         dtype=dtype, bn=bn)
+                                         dtype=dtype, bn=bn, quant=quant)
         return SegmentationModel(encoder=enc, decoder=dec)

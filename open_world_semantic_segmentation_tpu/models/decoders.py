@@ -104,6 +104,7 @@ class _PPMTrunk(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = DECODER_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, conv5):
@@ -113,7 +114,7 @@ class _PPMTrunk(nn.Module):
             p = adaptive_avg_pool(conv5, scale)
             p = ConvBN(512, (1, 1), bn=self.bn, train=self.train,
                        dtype=self.dtype, conv_init=kaiming_normal,
-                       name=f"ppm{i}")(p)
+                       quant=self.quant, name=f"ppm{i}")(p)
             outs.append(bilinear_resize(p, size))
         return jnp.concatenate(outs, axis=-1)
 
@@ -125,11 +126,16 @@ class _PPMHead(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = DECODER_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
+        # the fuse conv is the single largest matmul in the model (fc_dim
+        # 4096 -> 512 3x3); the final 1x1 classifier stays in the compute
+        # dtype — score/distance-logit precision feeds the OOD metrics
         x = ConvBN(512, (3, 3), padding=1, bn=self.bn, train=self.train,
-                   dtype=self.dtype, conv_init=kaiming_normal, name="fuse")(x)
+                   dtype=self.dtype, conv_init=kaiming_normal,
+                   quant=self.quant, name="fuse")(x)
         x = nn.Dropout(0.1, deterministic=not self.train, name="drop")(x)
         return Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
                     dtype=self.dtype, name="out")(x)
@@ -145,13 +151,14 @@ class PPM(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = DECODER_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
         x = _PPMTrunk(self.fc_dim, self.pool_scales, self.train, self.dtype,
-                      self.bn, name="ppm")(conv_out[-1])
+                      self.bn, self.quant, name="ppm")(conv_out[-1])
         x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                     name="conv_last")(x)
+                     self.quant, name="conv_last")(x)
         x = _maybe_upsample(x, seg_size)
         if self.use_softmax and seg_size is not None:
             x = nn.softmax(x, axis=-1)
@@ -189,13 +196,15 @@ class PPMDeepsup(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = DECODER_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
         ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
-                            self.dtype, self.bn, name="ppm")(conv_out[-1])
+                            self.dtype, self.bn, self.quant,
+                            name="ppm")(conv_out[-1])
         x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                     name="conv_last")(ppm_out)
+                     self.quant, name="conv_last")(ppm_out)
         if seg_size is not None:
             return {"scores": bilinear_resize(x, seg_size), "ft": ppm_out}
         ds = _DeepsupBranch(self.num_class, self.fc_dim, self.train,
@@ -219,13 +228,15 @@ class PPMDeepsupEmbedding(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = DECODER_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
         ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
-                            self.dtype, self.bn, name="ppm")(conv_out[-1])
+                            self.dtype, self.bn, self.quant,
+                            name="ppm")(conv_out[-1])
         emb = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                       name="conv_last")(ppm_out)
+                       self.quant, name="conv_last")(ppm_out)
         scores = one_hot_center_logits(emb, self.magnitude)
         if seg_size is not None:
             return {

@@ -67,6 +67,18 @@ class ConvBN(nn.Module):
     """Conv2D (no bias) + BatchNorm + optional ReLU, NHWC.
 
     ``padding`` follows torch semantics: an int p means p pixels both sides.
+
+    ``quant`` (opt-in int8 inference, ops/quant.py):
+    - "off"   — normal path (reference parity);
+    - "calib" — normal path, but records ``max|input|`` into the ``quant``
+                variable collection (run apply with ``mutable=["quant"]``);
+    - "int8"  — s8xs8->s32 conv using the calibrated static activation scale
+                and inline per-channel weight quantization; dequant + BN +
+                ReLU fuse into the conv epilogue.
+    - "int8-3x3" — int8 only for spatial (non-1x1) convs: on v5e the 1x1
+                bottleneck convs are bandwidth-bound and the requant chain
+                costs more than the MXU saves (tools/probe_int8.py), while
+                3x3 convs gain 1.2-1.5x.
     """
 
     features: int
@@ -80,6 +92,7 @@ class ConvBN(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     conv_init: Callable = kaiming_fan_out
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
@@ -88,23 +101,65 @@ class ConvBN(nn.Module):
             pad = ((pad, pad), (pad, pad))
         elif isinstance(pad, tuple) and isinstance(pad[0], int):
             pad = ((pad[0], pad[0]), (pad[1], pad[1]))
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            kernel_dilation=self.dilation,
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=self.conv_init,
-            name="conv",
-        )(x)
+        quant = self.quant
+        if quant == "int8-3x3":
+            quant = "int8" if tuple(self.kernel_size) != (1, 1) else "off"
+        if quant in ("calib", "int8"):
+            x = self._quantized_conv(x, pad, quant)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=pad,
+                kernel_dilation=self.dilation,
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=self.conv_init,
+                name="conv",
+            )(x)
         x = self.bn.make(not self.train, dtype=self.dtype, name="bn")(x)
         if self.relu:
             x = nn.relu(x)
         return x
+
+    def _quantized_conv(self, x, pad, quant):
+        """int8 conv path sharing the fp32 ``conv/kernel`` param."""
+        import jax
+
+        from ..ops.quant import quantize_act, quantize_weight
+
+        in_ch = x.shape[-1] // self.groups
+        # reuse the exact param path of nn.Conv ("conv"/"kernel") so
+        # checkpoints load identically in all quant modes
+        kernel = self.variable(
+            "params", "conv",
+            lambda: {"kernel": self.conv_init(
+                self.make_rng("params"),
+                (*self.kernel_size, in_ch, self.features), jnp.float32)},
+        ).value["kernel"]
+        amax = self.variable("quant", "amax",
+                             lambda: jnp.ones((), jnp.float32))
+        if quant == "calib":
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, pad, rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=self.dtype)
+            return y
+        x_q, s_x = quantize_act(x, amax.value)
+        w_q, s_w = quantize_weight(kernel)
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, self.strides, pad, rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (s_x * s_w)).astype(self.dtype)
 
 
 class Conv(nn.Module):

@@ -42,6 +42,7 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 1       # unused; signature-compat across block types
     base_width: int = 64  # unused
+    quant: str = "off"
 
     expansion = 1
 
@@ -51,14 +52,16 @@ class BasicBlock(nn.Module):
         out = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
                      padding=self.first_dilation, dilation=(self.first_dilation,) * 2,
                      relu=True, bn=self.bn, train=self.train, dtype=self.dtype,
-                     name="c1")(x)
+                     quant=self.quant, name="c1")(x)
         out = ConvBN(self.planes, (3, 3), padding=self.dilation,
                      dilation=(self.dilation,) * 2, relu=False, bn=self.bn,
-                     train=self.train, dtype=self.dtype, name="c2")(out)
+                     train=self.train, dtype=self.dtype, quant=self.quant,
+                     name="c2")(out)
         if self.downsample:
             residual = ConvBN(self.planes, (1, 1), (self.stride, self.stride),
                               relu=False, bn=self.bn, train=self.train,
-                              dtype=self.dtype, name="down")(x)
+                              dtype=self.dtype, quant=self.quant,
+                              name="down")(x)
         return nn.relu(out + residual)
 
 
@@ -73,6 +76,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 1
     base_width: int = 64
+    quant: str = "off"
 
     expansion = 4
 
@@ -81,19 +85,21 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         residual = x
         out = ConvBN(width, (1, 1), relu=True, bn=self.bn, train=self.train,
-                     dtype=self.dtype, name="c1")(x)
+                     dtype=self.dtype, quant=self.quant, name="c1")(x)
         # the 3x3 carries stride and dilation (torch Bottleneck layout)
         out = ConvBN(width, (3, 3), (self.stride, self.stride),
                      padding=self.first_dilation, dilation=(self.first_dilation,) * 2,
                      groups=self.groups, relu=True, bn=self.bn,
-                     train=self.train, dtype=self.dtype, name="c2")(out)
+                     train=self.train, dtype=self.dtype, quant=self.quant,
+                     name="c2")(out)
         out = ConvBN(self.planes * 4, (1, 1), relu=False, bn=self.bn,
-                     train=self.train, dtype=self.dtype, name="c3")(out)
+                     train=self.train, dtype=self.dtype, quant=self.quant,
+                     name="c3")(out)
         if self.downsample:
             residual = ConvBN(self.planes * 4, (1, 1),
                               (self.stride, self.stride), relu=False,
                               bn=self.bn, train=self.train, dtype=self.dtype,
-                              name="down")(x)
+                              quant=self.quant, name="down")(x)
         return nn.relu(out + residual)
 
 
@@ -128,6 +134,11 @@ class ResNet(nn.Module):
     planes: Sequence[int] = (64, 128, 256, 512)
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM when
     # training large crops/batches (jax.checkpoint over each residual block)
+    quant: str = "off"   # int8 PTQ mode for ConvBN (ops/quant.py)
+    quant_stages: Sequence[int] = (1, 2, 3)  # stages (0-based) quantized
+    # when quant != "off"; stage 0 (layer1, 1/4-res) and the stem stay in
+    # the compute dtype by default — early layers are the most
+    # quantization-sensitive and carry the least HBM traffic per FLOP
 
     @nn.compact
     def __call__(self, x):
@@ -168,6 +179,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     groups=self.groups,
                     base_width=self.base_width,
+                    quant=self.quant if stage in self.quant_stages
+                    else "off",
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             prev_dilation = dilation

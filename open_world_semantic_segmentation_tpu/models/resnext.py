@@ -28,6 +28,7 @@ class GroupBottleneck(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 32
     base_width: int = 64  # unused; signature-compat with ResNet blocks
+    quant: str = "off"
 
     expansion = 2
 
@@ -35,19 +36,21 @@ class GroupBottleneck(nn.Module):
     def __call__(self, x):
         residual = x
         out = ConvBN(self.planes, (1, 1), relu=True, bn=self.bn,
-                     train=self.train, dtype=self.dtype, name="c1")(x)
+                     train=self.train, dtype=self.dtype, quant=self.quant,
+                     name="c1")(x)
         out = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
                      padding=self.first_dilation,
                      dilation=(self.first_dilation,) * 2, groups=self.groups,
                      relu=True, bn=self.bn, train=self.train,
-                     dtype=self.dtype, name="c2")(out)
+                     dtype=self.dtype, quant=self.quant, name="c2")(out)
         out = ConvBN(self.planes * 2, (1, 1), relu=False, bn=self.bn,
-                     train=self.train, dtype=self.dtype, name="c3")(out)
+                     train=self.train, dtype=self.dtype, quant=self.quant,
+                     name="c3")(out)
         if self.downsample:
             residual = ConvBN(self.planes * 2, (1, 1),
                               (self.stride, self.stride), relu=False,
                               bn=self.bn, train=self.train, dtype=self.dtype,
-                              name="down")(x)
+                              quant=self.quant, name="down")(x)
         return nn.relu(out + residual)
 
 

@@ -3,6 +3,9 @@
 import json
 import sys
 import os
+import pytest
+
+pytestmark = pytest.mark.e2e
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

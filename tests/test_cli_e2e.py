@@ -13,6 +13,8 @@ from make_synthetic_data import make_streethazards, make_cityscapes  # noqa
 
 from open_world_semantic_segmentation_tpu.core.config import Config
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def sh_root(tmp_path_factory):

@@ -10,6 +10,8 @@ from open_world_semantic_segmentation_tpu.openset.crf import (
     _gauss_kernel,
 )
 
+pytestmark = pytest.mark.e2e
+
 
 def _numpy_meanfield(probs, sxy, compat, iters):
     """Direct (non-separable per-axis) oracle of the same update rule."""

@@ -1,6 +1,7 @@
 """Few-shot layer tests: prototypes, NPM override, pseudo-labels, merging."""
 
 import json
+import pytest
 
 import numpy as np
 import jax
@@ -16,6 +17,8 @@ from open_world_semantic_segmentation_tpu.fewshot import (
     pseudo_label,
     merge_head_predictions,
 )
+
+pytestmark = pytest.mark.e2e
 
 
 def test_extract_prototype_masked_mean():

@@ -19,6 +19,8 @@ from open_world_semantic_segmentation_tpu.models.mobilenet import (
     MobileNetV2Dilated,
 )
 
+pytestmark = pytest.mark.e2e
+
 RNG = jax.random.PRNGKey(0)
 
 

@@ -11,6 +11,8 @@ from open_world_semantic_segmentation_tpu.openset.scoring import (
     knn_cosine_conf,
 )
 
+pytestmark = pytest.mark.e2e
+
 
 # one full-window case at the realistic ragged shape; interpret-mode cost
 # scales with the 9x9 window (~40s), so other shapes are covered by the

@@ -14,6 +14,8 @@ from open_world_semantic_segmentation_tpu.parallel import (
     shard_index_space,
 )
 
+pytestmark = pytest.mark.e2e
+
 
 def test_make_mesh_for_batch_divisibility():
     assert make_mesh_for_batch(16).devices.size == 8

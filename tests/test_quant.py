@@ -1,0 +1,124 @@
+"""Opt-in int8 PTQ mode (ops/quant.py + ConvBN quant modes).
+
+int8 is NOT a parity path — these tests pin down (a) the quantization
+primitives, (b) that the int8 model shares the exact param pytree with the
+normal model (checkpoints load unchanged), and (c) that end-to-end argmax
+drift on a random-weight model stays small.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from open_world_semantic_segmentation_tpu.models import ModelBuilder
+from open_world_semantic_segmentation_tpu.ops.quant import (
+    calibrate,
+    quantize_act,
+    quantize_weight,
+)
+
+pytestmark = pytest.mark.e2e
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    # per-channel scales differ by 100x; per-tensor would lose small ones
+    w = rng.standard_normal((3, 3, 8, 4)).astype(np.float32)
+    w[..., 1] *= 100.0
+    w[..., 2] *= 0.01
+    w_q, s = quantize_weight(jnp.asarray(w))
+    assert w_q.dtype == jnp.int8 and s.shape == (4,)
+    deq = np.asarray(w_q, np.float32) * np.asarray(s)
+    for c in range(4):
+        scale_c = np.abs(w[..., c]).max()
+        np.testing.assert_allclose(deq[..., c], w[..., c],
+                                   atol=scale_c / 127 * 0.51)
+
+
+def test_quantize_act_static_scale():
+    x = jnp.asarray([[0.5, -2.0, 10.0]], jnp.float32)
+    x_q, s = quantize_act(x, jnp.asarray(4.0))  # amax 4 -> 10.0 saturates
+    assert x_q.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(x_q), [[16, -64, 127]])
+    np.testing.assert_allclose(float(s), 4.0 / 127)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    kw = dict(num_class=13, fc_dim=512)
+    m_off = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", **kw)
+    m_cal = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="calib", **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 48, 48, 3)), jnp.float32)
+    v = m_off.init(jax.random.PRNGKey(0), x)
+    imgs = [rng.standard_normal((1, 48, 48, 3)).astype(np.float32)
+            for _ in range(2)]
+    v_cal = calibrate(m_cal, dict(v), imgs, seg_size=(48, 48))
+    out_off = m_off.apply(v, x, seg_size=(48, 48))
+    return kw, x, v, v_cal, np.asarray(out_off["scores"][0], np.float32)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int8-3x3"])
+def test_int8_forward_close_to_fp(tiny_setup, mode):
+    kw, x, v, v_cal, s_off = tiny_setup
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant=mode, **kw)
+    out_q = m_q.apply(v_cal, x, seg_size=(48, 48))
+    s_q = np.asarray(out_q["scores"][0], np.float32)
+    agree = (s_off.argmax(-1) == s_q.argmax(-1)).mean()
+    rel = np.abs(s_off - s_q).max() / np.abs(s_off).max()
+    # random weights are the worst case for PTQ; trained nets do better
+    assert agree > 0.9, f"argmax agreement {agree}"
+    assert rel < 0.05, f"relative score error {rel}"
+
+
+def test_param_tree_identical_across_quant_modes(tiny_setup):
+    """quant modes reuse the exact conv/kernel param paths — a checkpoint
+    trained with quant='off' loads into the int8 model unchanged."""
+    kw, x, v, _, _ = tiny_setup
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8", **kw)
+    v_q = m_q.init(jax.random.PRNGKey(0), x)
+    paths_off = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(
+                     v["params"])[0]}
+    paths_q = {jax.tree_util.keystr(p)
+               for p, _ in jax.tree_util.tree_flatten_with_path(
+                   v_q["params"])[0]}
+    assert paths_off == paths_q
+
+
+def test_calibration_records_amax_monotonically():
+    kw = dict(num_class=13, fc_dim=512)
+    m_cal = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="calib", **kw)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    v = m_cal.init(jax.random.PRNGKey(0), x)
+    v1 = calibrate(m_cal, dict(v), [np.asarray(x) * 0.5], seg_size=(32, 32))
+    v2 = calibrate(m_cal, dict(v1), [np.asarray(x) * 2.0], seg_size=(32, 32))
+    a1 = np.array(jax.tree_util.tree_leaves(v1["quant"]))
+    a2 = np.array(jax.tree_util.tree_leaves(v2["quant"]))
+    assert (a2 >= a1).all() and (a2 > a1).any()
+
+
+def test_quant_stages_override():
+    enc = ModelBuilder.build_encoder("resnet18dilated", quant="int8",
+                                     quant_stages=(0, 1, 2, 3))
+    assert enc.quant == "int8" and enc.quant_stages == (0, 1, 2, 3)
+    enc_default = ModelBuilder.build_encoder("resnet18dilated", quant="int8")
+    assert enc_default.quant_stages == (1, 2, 3)
+
+
+def test_quant_rejected_for_training_and_unwired_archs():
+    with pytest.raises(ValueError):
+        ModelBuilder.build_segmentation_model(
+            "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+            quant="int8", train=True)
+    with pytest.raises(ValueError):
+        ModelBuilder.build_encoder("hrnetv2", quant="int8")
+    with pytest.raises(ValueError):
+        ModelBuilder.build_decoder("c1", quant="int8")

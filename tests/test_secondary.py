@@ -15,6 +15,8 @@ from make_synthetic_data import make_streethazards, make_cityscapes  # noqa
 
 from open_world_semantic_segmentation_tpu.core.config import Config
 
+pytestmark = pytest.mark.e2e
+
 
 def _make_voc(root, n=3, h=40, w=56):
     rng = np.random.default_rng(0)

@@ -14,6 +14,8 @@ from PIL import Image
 from open_world_semantic_segmentation_tpu.core.config import Config
 from open_world_semantic_segmentation_tpu.cli import serve as serve_mod
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def server():

@@ -20,6 +20,8 @@ from open_world_semantic_segmentation_tpu.train import (
     load_checkpoint,
 )
 
+pytestmark = pytest.mark.e2e
+
 
 def test_torch_sgd_matches_torch_exactly():
     """SGD(momentum=0.9, wd=1e-4) with poly LR, kernel-vs-bias decay mask."""
