@@ -43,10 +43,18 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None,
     base_classes = d.num_classes or 16
     novel_id = base_classes  # 16
 
-    teacher = deeplabv3plus_embedding_resnet101(
+    # the reference hard-codes the resnet101 embedding model
+    # (main_distillation.py:380); honor DEEPLAB.model when it names another
+    # embedding composition (e.g. the resnet50 variant)
+    factory = deeplabv3plus_embedding_resnet101
+    if "embedding" in d.model and "self_distillation" not in d.model:
+        from .main_deeplab import MODEL_MAP
+
+        factory = MODEL_MAP[d.model]
+    teacher = factory(
         num_classes=base_classes, output_stride=d.output_stride,
         train=False, dtype=precision_dtype)
-    student = deeplabv3plus_embedding_resnet101(
+    student = factory(
         num_classes=base_classes + 1, output_stride=d.output_stride,
         train=True, dtype=precision_dtype)
 

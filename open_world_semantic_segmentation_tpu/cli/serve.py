@@ -18,6 +18,13 @@ host-side PIL decode and PNG encode for concurrent requests overlap, while
 the device lock serializes only the jitted forward (one chip executes one
 program at a time anyway).
 
+With ``--max-batch N`` (default 1 = off) concurrent requests are
+micro-batched: a collector thread coalesces up to N decoded images that
+arrive within ``--batch-wait-ms`` into ONE device dispatch (padded to the
+next power-of-two batch size, each size compiled at startup). Batch-8
+inference amortizes per-dispatch overhead and raises device utilization
+under concurrent load — the standard production-serving pattern.
+
 Usage:
   python -m open_world_semantic_segmentation_tpu.cli.serve \
       --cfg configs/test_ood_street.yaml --port 8501 --height 720 --width 1280
@@ -41,10 +48,22 @@ from ._common import (
 )
 
 
+class _Job:
+    """One request in the micro-batch queue."""
+
+    __slots__ = ("arr", "done", "pred", "conf", "err")
+
+    def __init__(self, arr):
+        self.arr = arr
+        self.done = threading.Event()
+        self.pred = self.conf = self.err = None
+
+
 class Segmenter:
     """Fixed-size jitted forward with PIL in / label-PNG out."""
 
-    def __init__(self, cfg, precision_dtype, height: int, width: int):
+    def __init__(self, cfg, precision_dtype, height: int, width: int,
+                 max_batch: int = 1, batch_wait_ms: float = 5.0):
         import jax
         import jax.numpy as jnp
 
@@ -61,23 +80,78 @@ class Segmenter:
                            f"{cfg.MODEL.arch_decoder}")
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
-        self.stats = {"requests": 0, "errors": 0,
+        self.stats = {"requests": 0, "errors": 0, "batches": 0,
                       "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
 
         @jax.jit
-        def fwd(variables, img):
-            out = self.model.apply(variables, img, seg_size=self.size)
-            scores = out["scores"][0]
+        def fwd(variables, imgs):
+            out = self.model.apply(variables, imgs, seg_size=self.size)
+            scores = out["scores"]
             return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
-                    dissum_conf(scores).astype(jnp.float16))
+                    jax.vmap(dissum_conf)(scores).astype(jnp.float16))
 
         self._fwd = fwd
-        # compile at startup
-        self._fwd(self.variables,
-                  jnp.zeros((1, height, width, 3), jnp.float32))
+        # compile every padded batch size at startup so no request ever
+        # waits on a compile
+        self.max_batch = max(1, int(max_batch))
+        self.batch_wait = batch_wait_ms / 1e3
+        self._batch_sizes = [1]
+        while self._batch_sizes[-1] < self.max_batch:
+            self._batch_sizes.append(
+                min(self._batch_sizes[-1] * 2, self.max_batch))
+        for b in self._batch_sizes:
+            self._fwd(self.variables,
+                      jnp.zeros((b, height, width, 3), jnp.float32))
+
+        self._queue = None
+        if self.max_batch > 1:
+            import queue
+
+            self._queue = queue.Queue()
+            threading.Thread(target=self._collector, daemon=True).start()
+
+    def _run_batch(self, arrs):
+        """One padded device dispatch over a list of HWC float arrays."""
+        import jax.numpy as jnp
+
+        n = len(arrs)
+        size = next(b for b in self._batch_sizes if b >= n)
+        batch = np.zeros((size, *self.size, 3), np.float32)
+        for i, a in enumerate(arrs):
+            batch[i] = a
+        with self._lock:
+            pred, conf = self._fwd(self.variables, jnp.asarray(batch))
+        with self._stats_lock:
+            self.stats["batches"] += 1
+        return np.asarray(pred)[:n], np.asarray(conf)[:n]
+
+    def _collector(self):
+        """Micro-batcher: coalesce jobs arriving within batch_wait into one
+        dispatch of up to max_batch images."""
+        import queue
+
+        while True:
+            jobs = [self._queue.get()]
+            deadline = time.perf_counter() + self.batch_wait
+            while len(jobs) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    jobs.append(self._queue.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                preds, confs = self._run_batch([j.arr for j in jobs])
+                for j, p, c in zip(jobs, preds, confs):
+                    j.pred, j.conf = p, c
+            except Exception as e:  # pragma: no cover - device failure
+                for j in jobs:
+                    j.err = e
+            for j in jobs:
+                j.done.set()
 
     def segment(self, image_bytes: bytes):
-        import jax.numpy as jnp
         from PIL import Image
 
         tic = time.perf_counter()
@@ -87,10 +161,16 @@ class Segmenter:
                                         (self.size[0], self.size[1]))
             # decode/resize above runs concurrently across request threads;
             # only the device dispatch is serialized
-            with self._lock:
-                pred, conf = self._fwd(self.variables,
-                                       jnp.asarray(arr[None]))
-            pred, conf = np.asarray(pred), np.asarray(conf)
+            if self._queue is not None:
+                job = _Job(arr)
+                self._queue.put(job)
+                job.done.wait()
+                if job.err is not None:
+                    raise job.err
+                pred, conf = job.pred, job.conf
+            else:
+                preds, confs = self._run_batch([arr])
+                pred, conf = preds[0], confs[0]
         except Exception:
             with self._stats_lock:
                 self.stats["errors"] += 1
@@ -164,8 +244,9 @@ def make_handler(segmenter: Segmenter):
 
 
 def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
-          width=1280):
-    segmenter = Segmenter(cfg, precision_dtype, height, width)
+          width=1280, max_batch=1, batch_wait_ms=5.0):
+    segmenter = Segmenter(cfg, precision_dtype, height, width,
+                          max_batch=max_batch, batch_wait_ms=batch_wait_ms)
     server = ThreadingHTTPServer((host, port), make_handler(segmenter))
     print(f"serving {segmenter.model_name} on http://{host}:{port} "
           f"(input {height}x{width})", flush=True)
@@ -178,12 +259,18 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8501)
     parser.add_argument("--height", type=int, default=720)
     parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--max-batch", type=int, default=1,
+                        help="micro-batch concurrent requests into one "
+                             "device dispatch (1 = off)")
+    parser.add_argument("--batch-wait-ms", type=float, default=5.0,
+                        help="max time to wait for a batch to fill")
     args = parser.parse_args(argv)
     from ._common import parse_config
 
     cfg = parse_config(args)
     server = serve(cfg, compute_dtype(args), args.host, args.port,
-                   args.height, args.width)
+                   args.height, args.width, max_batch=args.max_batch,
+                   batch_wait_ms=args.batch_wait_ms)
     server.serve_forever()
 
 

@@ -46,12 +46,13 @@ class ASPP(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = HEAD_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
         res = [ConvBN(self.out_channels, (1, 1), bn=self.bn, train=self.train,
                       dtype=self.dtype, conv_init=kaiming_normal,
-                      name="b0")(x)]
+                      quant=self.quant, name="b0")(x)]
         for i, rate in enumerate(self.atrous_rates):
             if self.separable:
                 y = Conv(x.shape[-1], (3, 3), padding=rate,
@@ -65,7 +66,7 @@ class ASPP(nn.Module):
                 y = ConvBN(self.out_channels, (3, 3), padding=rate,
                            dilation=(rate, rate), bn=self.bn, train=self.train,
                            dtype=self.dtype, conv_init=kaiming_normal,
-                           name=f"b{i + 1}")(x)
+                           quant=self.quant, name=f"b{i + 1}")(x)
             res.append(y)
         size = x.shape[-3:-1]
         p = global_avg_pool(x)
@@ -75,7 +76,7 @@ class ASPP(nn.Module):
         y = jnp.concatenate(res, axis=-1)
         y = ConvBN(self.out_channels, (1, 1), bn=self.bn, train=self.train,
                    dtype=self.dtype, conv_init=kaiming_normal,
-                   name="project")(y)
+                   quant=self.quant, name="project")(y)
         return nn.Dropout(0.1, deterministic=not self.train, name="drop")(y)
 
 
@@ -88,18 +89,22 @@ class DeepLabHeadV3Plus(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = HEAD_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, feature):
         low = ConvBN(48, (1, 1), bn=self.bn, train=self.train,
                      dtype=self.dtype, conv_init=kaiming_normal,
-                     name="project")(feature["low_level"])
+                     quant=self.quant, name="project")(feature["low_level"])
         out = ASPP(self.aspp_dilate, train=self.train, dtype=self.dtype,
-                   bn=self.bn, name="aspp")(feature["out"])
+                   bn=self.bn, quant=self.quant, name="aspp")(feature["out"])
         out = bilinear_resize(out, low.shape[-3:-1])
         x = jnp.concatenate([low, out], axis=-1)
+        # the final 1x1 classifier stays in the compute dtype (score
+        # precision feeds mIoU / the distance head)
         x = ConvBN(256, (3, 3), padding=1, bn=self.bn, train=self.train,
-                   dtype=self.dtype, conv_init=kaiming_normal, name="fuse")(x)
+                   dtype=self.dtype, conv_init=kaiming_normal,
+                   quant=self.quant, name="fuse")(x)
         return Conv(self.num_classes, (1, 1), conv_init=kaiming_normal,
                     dtype=self.dtype, name="classifier")(x)
 
@@ -112,13 +117,15 @@ class DeepLabHead(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     bn: BNConfig = HEAD_BN
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, feature):
         x = ASPP(self.aspp_dilate, train=self.train, dtype=self.dtype,
-                 bn=self.bn, name="aspp")(feature["out"])
+                 bn=self.bn, quant=self.quant, name="aspp")(feature["out"])
         x = ConvBN(256, (3, 3), padding=1, bn=self.bn, train=self.train,
-                   dtype=self.dtype, conv_init=kaiming_normal, name="fuse")(x)
+                   dtype=self.dtype, conv_init=kaiming_normal,
+                   quant=self.quant, name="fuse")(x)
         return Conv(self.num_classes, (1, 1), conv_init=kaiming_normal,
                     dtype=self.dtype, name="classifier")(x)
 
@@ -215,17 +222,18 @@ def _aspp_rates(output_stride: int) -> Tuple[int, int, int]:
 
 
 def _resnet_backbone(depth, output_stride, train, dtype,
-                     bn_momentum: float = 0.01):
+                     bn_momentum: float = 0.01, quant: str = "off"):
     return resnet_deeplab(depth=depth, output_stride=output_stride,
                           bn=BNConfig(momentum=bn_momentum), train=train,
-                          dtype=dtype, name="backbone")
+                          dtype=dtype, quant=quant, name="backbone")
 
 
 def deeplabv3plus_resnet101(num_classes=21, output_stride=16, train=False,
-                            dtype=jnp.float32):
-    bb = _resnet_backbone(101, output_stride, train, dtype)
+                            dtype=jnp.float32, quant="off"):
+    bb = _resnet_backbone(101, output_stride, train, dtype, quant=quant)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, name="head")
+                             train=train, dtype=dtype, quant=quant,
+                             name="head")
     return DeepLabV3Plus(backbone=bb, head=head)
 
 
@@ -264,21 +272,25 @@ def deeplabv3_mobilenet(num_classes=21, output_stride=16, train=False,
 
 
 def deeplabv3plus_embedding_resnet101(num_classes=16, output_stride=16,
-                                      train=False, dtype=jnp.float32):
-    bb = _resnet_backbone(101, output_stride, train, dtype)
+                                      train=False, dtype=jnp.float32,
+                                      quant="off"):
+    bb = _resnet_backbone(101, output_stride, train, dtype, quant=quant)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, name="head")
+                             train=train, dtype=dtype, quant=quant,
+                             name="head")
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 
 
 def deeplabv3plus_embedding_resnet50(num_classes=16, output_stride=16,
-                                     train=False, dtype=jnp.float32):
+                                     train=False, dtype=jnp.float32,
+                                     quant="off"):
     """ResNet-50 variant of the embedding model. The reference only ships
     the resnet101 composition (network/modeling.py:140-148); this is the
     same head on the lighter backbone — an API extension, not a port."""
-    bb = _resnet_backbone(50, output_stride, train, dtype)
+    bb = _resnet_backbone(50, output_stride, train, dtype, quant=quant)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, name="head")
+                             train=train, dtype=dtype, quant=quant,
+                             name="head")
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 
 

@@ -105,6 +105,24 @@ def test_calibration_records_amax_monotonically():
     assert (a2 >= a1).all() and (a2 > a1).any()
 
 
+def test_deeplab_int8_forward_close_to_fp():
+    """quant also wired through the DeepLab stack (backbone + ASPP head)."""
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_resnet50)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m_off = deeplabv3plus_embedding_resnet50(num_classes=16)
+    m_cal = deeplabv3plus_embedding_resnet50(num_classes=16, quant="calib")
+    m_q = deeplabv3plus_embedding_resnet50(num_classes=16, quant="int8")
+    v = m_off.init(jax.random.PRNGKey(0), x)
+    v_cal = calibrate(m_cal, dict(v), [np.asarray(x)])
+    logits_off = np.asarray(m_off.apply(v, x)[0], np.float32)
+    logits_q = np.asarray(m_q.apply(v_cal, x)[0], np.float32)
+    agree = (logits_off.argmax(-1) == logits_q.argmax(-1)).mean()
+    assert agree > 0.9, f"argmax agreement {agree}"
+
+
 def test_quant_stages_override():
     enc = ModelBuilder.build_encoder("resnet18dilated", quant="int8",
                                      quant_stages=(0, 1, 2, 3))

@@ -104,6 +104,9 @@ def test_main_distillation_runs(tmp_path):
     cfg = Config()
     cfg.DIR = str(tmp_path / "ckpt")
     cfg.DATASET.root_dataset = root
+    # the lighter embedding composition halves this test's compile time;
+    # the reference default (resnet101) stays the driver default
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet50"
     cfg.DEEPLAB.num_classes = 16
     cfg.DEEPLAB.crop_size = 32
     cfg.DEEPLAB.batch_size = 2

@@ -104,6 +104,63 @@ def test_concurrent_requests(server):
         assert pred is not None and pred.shape == (32, 48)
 
 
+def test_microbatched_server():
+    """--max-batch: concurrent requests coalesce into fewer device
+    dispatches; results identical per request."""
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    srv = serve_mod.serve(cfg, jnp.float32, host="127.0.0.1", port=0,
+                          height=32, width=48, max_batch=4,
+                          batch_wait_ms=200.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        img = Image.fromarray(np.random.default_rng(2).integers(
+            0, 255, (40, 64, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payload = buf.getvalue()
+
+        # baseline single request (its own batch)
+        req = urllib.request.Request(base + "/segment", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            ref = np.array(Image.open(io.BytesIO(r.read())))
+
+        results = [None] * 8
+
+        def post(i):
+            rq = urllib.request.Request(base + "/segment", data=payload,
+                                        method="POST")
+            with urllib.request.urlopen(rq) as rr:
+                results[i] = np.array(Image.open(io.BytesIO(rr.read())))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for pred in results:
+            # per-image math is batch-independent (eval BN is affine); allow
+            # a sliver of argmax tie-flips from batch-size-dependent tiling
+            agree = (pred == ref).mean()
+            assert agree >= 0.99, f"batched/single agreement {agree}"
+
+        with urllib.request.urlopen(base + "/metrics") as r:
+            m = json.loads(r.read())
+        assert m["requests"] == 9
+        # the 200ms window must have coalesced at least one multi-image
+        # batch: 9 requests in fewer than 9 dispatches
+        assert m["batches"] < 9
+    finally:
+        srv.shutdown()
+
+
 def test_metrics_endpoint(server):
     # push one good and one malformed request so counts are self-contained
     img = Image.new("RGB", (48, 32))
