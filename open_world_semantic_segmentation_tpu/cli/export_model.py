@@ -1,0 +1,65 @@
+"""Export the eval model as a self-contained AOT artifact (jax.export).
+
+The artifact bakes in the weights and the whole eval computation (forward
++ score upsample + OOD confidence + argmax) as serialized StableHLO; it
+loads with ``core.export.load_exported`` and runs with no framework code.
+No reference equivalent — this is the TPU-native deployment story.
+
+Usage:
+  python -m open_world_semantic_segmentation_tpu.cli.export_model \
+      --cfg configs/test_ood_street.yaml --height 720 --width 1280 \
+      --out model.owss [--platforms tpu] [--method dissum]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ._common import (
+    build_anomaly_model,
+    compute_dtype,
+    config_parser,
+    init_or_load_variables,
+    parse_config,
+)
+from ..core.export import export_eval_fn, save_exported
+
+
+def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
+         batch=1, method="dissum", platforms=None, out="model.owss"):
+    model = build_anomaly_model(cfg, train=False, use_softmax=True,
+                                dtype=precision_dtype)
+    variables = init_or_load_variables(
+        cfg, model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    blob = export_eval_fn(model, variables, (height, width), batch=batch,
+                          method=method, platforms=platforms)
+    meta = {
+        "model": f"{cfg.MODEL.arch_encoder}+{cfg.MODEL.arch_decoder}",
+        "input": [batch, height, width, 3],
+        "method": method,
+        "platforms": list(platforms) if platforms else None,
+    }
+    save_exported(out, blob, meta)
+    print(f"exported {meta['model']} ({len(blob) / 1e6:.1f} MB) -> {out}")
+    return out
+
+
+def _entry():
+    parser = config_parser(__doc__)
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--method", default="dissum",
+                        choices=["dissum", "msp", "maxlogit", "none"])
+    parser.add_argument("--platforms", nargs="*", default=None,
+                        help="lowering targets (e.g. tpu cpu); default = "
+                             "current backend")
+    parser.add_argument("--out", default="model.owss")
+    args = parser.parse_args()
+    cfg = parse_config(args)
+    main(cfg, compute_dtype(args), args.height, args.width, args.batch,
+         args.method, args.platforms, args.out)
+
+
+if __name__ == "__main__":
+    _entry()

@@ -1,0 +1,95 @@
+"""AOT model export via ``jax.export`` (serialized StableHLO artifacts).
+
+Production-deployment feature with no reference equivalent (the torch
+reference has no export story): the full jitted eval computation —
+normalize-free forward, score upsample, OOD confidence + argmax — is
+lowered once and serialized WITH the weights baked in. The artifact:
+
+- loads and runs without any model-building code (only jax), so serving
+  containers don't ship flax/the framework;
+- can be lowered for a platform other than the exporting host
+  (``platforms=("tpu",)`` from a CPU machine) — XLA compiles the
+  deserialized StableHLO natively on the target;
+- is shape- and dtype-checked at call time by jax.export's calling
+  convention.
+
+Usage:
+    blob = export_eval_fn(model, variables, (720, 1280))
+    save_exported("model.owss", blob)
+    fn = load_exported("model.owss")     # -> callable(img[B,H,W,3]) ->
+    pred, conf = fn(img)                 #    (uint8 labels, f16 conf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+MAGIC = b"OWSS-EXPORT-v1\n"
+
+
+def export_eval_fn(model, variables, input_size: Tuple[int, int],
+                   batch: int = 1, method: str = "dissum",
+                   platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the full eval computation with weights as constants.
+
+    ``method``: OOD confidence baked into the artifact — "dissum", "msp",
+    "maxlogit", or "none" (labels only).
+    ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
+    defaults to the current backend.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from ..openset import scoring
+
+    conf_fn = {
+        "dissum": scoring.dissum_conf,
+        "msp": scoring.msp_conf,
+        "maxlogit": scoring.maxlogit_conf,
+        "none": None,
+    }[method]
+
+    def fwd(img):
+        out = model.apply(variables, img, seg_size=input_size)
+        scores = out["scores"]
+        pred = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+        if conf_fn is None:
+            return pred
+        return pred, jax.vmap(conf_fn)(scores).astype(jnp.float16)
+
+    spec = jax.ShapeDtypeStruct((batch, *input_size, 3), jnp.float32)
+    exported = jex.export(jax.jit(fwd),
+                          platforms=tuple(platforms) if platforms else None)(
+        spec)
+    return exported.serialize()
+
+
+def save_exported(path: str, blob: bytes, meta: Optional[dict] = None):
+    """Write MAGIC + JSON metadata line + the serialized artifact."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    header = json.dumps(meta or {}).encode() + b"\n"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(header)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_exported(path: str):
+    """Load an artifact; returns ``(callable, meta)``. The callable runs
+    the deserialized computation under jit on the current backend."""
+    import jax
+    from jax import export as jex
+
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not an OWSS export artifact")
+        meta = json.loads(f.readline())
+        blob = f.read()
+    exported = jex.deserialize(blob)
+    return jax.jit(exported.call), meta

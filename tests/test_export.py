@@ -1,0 +1,86 @@
+"""AOT export artifacts (core/export.py + cli/export_model.py)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from open_world_semantic_segmentation_tpu.core.export import (
+    export_eval_fn,
+    load_exported,
+    save_exported,
+)
+from open_world_semantic_segmentation_tpu.models import ModelBuilder
+
+pytestmark = pytest.mark.e2e
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        fc_dim=512)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_export_roundtrip_matches_direct_apply(tiny_model, tmp_path):
+    from open_world_semantic_segmentation_tpu.openset.scoring import (
+        dissum_conf)
+
+    model, variables = tiny_model
+    blob = export_eval_fn(model, variables, (32, 48), method="dissum")
+    path = str(tmp_path / "m.owss")
+    save_exported(path, blob, {"model": "tiny"})
+
+    fn, meta = load_exported(path)
+    assert meta["model"] == "tiny"
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), jnp.float32)
+    pred, conf = fn(img)
+    assert pred.shape == (1, 32, 48) and pred.dtype == jnp.uint8
+    assert conf.shape == (1, 32, 48) and conf.dtype == jnp.float16
+
+    scores = model.apply(variables, img, seg_size=(32, 48))["scores"]
+    want_pred = np.argmax(np.asarray(scores), axis=-1)
+    want_conf = np.asarray(jax.vmap(dissum_conf)(scores), np.float16)
+    np.testing.assert_array_equal(np.asarray(pred), want_pred)
+    np.testing.assert_array_equal(np.asarray(conf), want_conf)
+
+
+def test_export_labels_only_and_magic_check(tiny_model, tmp_path):
+    model, variables = tiny_model
+    blob = export_eval_fn(model, variables, (32, 48), method="none")
+    path = str(tmp_path / "labels.owss")
+    save_exported(path, blob)
+    fn, _ = load_exported(path)
+    pred = fn(jnp.zeros((1, 32, 48, 3), jnp.float32))
+    assert pred.shape == (1, 32, 48)
+
+    bad = str(tmp_path / "junk.owss")
+    with open(bad, "wb") as f:
+        f.write(b"not an artifact")
+    with pytest.raises(ValueError):
+        load_exported(bad)
+
+
+def test_export_cli(tmp_path):
+    from open_world_semantic_segmentation_tpu.cli import export_model
+    from open_world_semantic_segmentation_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    out = str(tmp_path / "cli.owss")
+    export_model.main(cfg, jnp.float32, height=32, width=48, out=out)
+    assert os.path.exists(out)
+    fn, meta = load_exported(out)
+    assert meta["input"] == [1, 32, 48, 3]
+    pred, conf = fn(jnp.zeros((1, 32, 48, 3), jnp.float32))
+    assert pred.shape == (1, 32, 48)
