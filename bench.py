@@ -34,9 +34,14 @@ PYRAMID = [(304, 536), (376, 672), (456, 800), (528, 936), (568, 1000)]
 
 def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
          full_size=FULL_SIZE, n_imgs=32, n_iters=2, quant="off",
-         quant_stages=None):
+         quant_stages=None, prequant=False, cast_params=False):
     """``quant``: "off" is the reference-parity path the driver records;
-    "int8"/"int8-3x3" measure the opt-in PTQ mode (ops/quant.py)."""
+    "int8"/"int8-3x3" measure the opt-in PTQ mode (ops/quant.py).
+    ``prequant``: quantize weights offline (ops.quant.prequantize) instead
+    of inline — removes the per-scale f32 kernel reads.
+    ``cast_params``: pre-cast fp32 params to the bf16 compute dtype on the
+    host. Bit-identical outputs (flax casts them to bf16 inside the
+    program anyway); probes whether XLA hoists the casts/f32 reads."""
     import os
 
     from open_world_semantic_segmentation_tpu.core.cache import enable
@@ -75,8 +80,17 @@ def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
             (1, *pyramid_shapes[2], 3)).astype(np.float32)]
         variables = calibrate(m_cal, dict(variables), cal_imgs,
                               seg_size=full_size)
+        if prequant:
+            from open_world_semantic_segmentation_tpu.ops.quant import (
+                prequantize)
+
+            variables = prequantize(variables)
     else:
         variables = model.init(jax.random.PRNGKey(0), init_img)
+    if cast_params:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, variables)
 
     def eval_image(variables, pyramid):
         scores = None

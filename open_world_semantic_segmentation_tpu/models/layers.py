@@ -153,7 +153,15 @@ class ConvBN(nn.Module):
                 preferred_element_type=self.dtype)
             return y
         x_q, s_x = quantize_act(x, amax.value)
-        w_q, s_w = quantize_weight(kernel)
+        if kernel.dtype == jnp.int8:
+            # ops.quant.prequantize already converted this kernel offline;
+            # its per-channel scale lives next to amax
+            w_q = kernel
+            s_w = self.variable(
+                "quant", "w_scale",
+                lambda: jnp.ones((self.features,), jnp.float32)).value
+        else:
+            w_q, s_w = quantize_weight(kernel)
         y = jax.lax.conv_general_dilated(
             x_q, w_q, self.strides, pad, rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -52,6 +52,50 @@ def quantize_act(x, amax):
     return x_q, scale
 
 
+def prequantize(variables):
+    """Quantize conv kernels OFFLINE into the variables tree.
+
+    The inline path re-derives int8 kernels from the f32 params inside the
+    program — per pyramid scale, that re-reads every f32 kernel from HBM
+    (~190 MB for resnet50+PPM) unless XLA happens to hoist/CSE it. This
+    pass makes it explicit: each calibrated conv's ``conv/kernel`` is
+    replaced by its int8 tensor and the per-channel scale is stored as
+    ``w_scale`` next to the layer's ``amax`` in the ``quant`` collection.
+    ConvBN's int8 path detects the int8 kernel dtype and skips the inline
+    quantization. Quantized convs are identified by the presence of their
+    ``amax`` (i.e. run :func:`calibrate` first).
+    """
+    import jax
+
+    variables = jax.tree_util.tree_map(lambda a: a, variables)  # copy
+    params = variables["params"]
+    quant = variables.get("quant")
+    if quant is None:
+        raise ValueError("prequantize requires a calibrated 'quant' "
+                         "collection (run calibrate first)")
+
+    def walk(p, q):
+        if not isinstance(q, dict):
+            return p, q
+        if "amax" in q and isinstance(p, dict) and "conv" in p:
+            kernel = p["conv"]["kernel"]
+            if kernel.dtype == jnp.int8:  # already prequantized: no-op
+                return p, q
+            w_q, s_w = quantize_weight(kernel)
+            p = {**p, "conv": {**p["conv"], "kernel": w_q}}
+            q = {**q, "w_scale": s_w}
+            return p, q
+        p = dict(p)
+        q = dict(q)
+        for k in q:
+            if k in p:
+                p[k], q[k] = walk(p[k], q[k])
+        return p, q
+
+    new_params, new_quant = walk(dict(params), dict(quant))
+    return {**variables, "params": new_params, "quant": new_quant}
+
+
 def calibrate(model, variables, images, seg_size=None):
     """Record per-layer activation amax over calibration images.
 

@@ -14,6 +14,7 @@ import pytest
 from open_world_semantic_segmentation_tpu.models import ModelBuilder
 from open_world_semantic_segmentation_tpu.ops.quant import (
     calibrate,
+    prequantize,
     quantize_act,
     quantize_weight,
 )
@@ -103,6 +104,32 @@ def test_calibration_records_amax_monotonically():
     a1 = np.array(jax.tree_util.tree_leaves(v1["quant"]))
     a2 = np.array(jax.tree_util.tree_leaves(v2["quant"]))
     assert (a2 >= a1).all() and (a2 > a1).any()
+
+
+def test_prequantized_matches_inline_int8(tiny_setup):
+    """Offline weight quantization (prequantize) produces bit-identical
+    outputs to the inline path — same int8 kernels, same scales, just
+    computed once outside the program."""
+    kw, x, v, v_cal, _ = tiny_setup
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8", **kw)
+    out_inline = m_q.apply(v_cal, x, seg_size=(48, 48))
+    v_pre = prequantize(v_cal)
+    # every calibrated conv kernel is now int8 with a sibling w_scale
+    n_int8 = sum(1 for leaf in jax.tree_util.tree_leaves(v_pre["params"])
+                 if leaf.dtype == jnp.int8)
+    n_amax = sum(1 for p, _ in jax.tree_util.tree_flatten_with_path(
+        v_pre["quant"])[0] if "amax" in jax.tree_util.keystr(p))
+    assert n_int8 == n_amax > 0
+    out_pre = m_q.apply(v_pre, x, seg_size=(48, 48))
+    np.testing.assert_array_equal(np.asarray(out_inline["scores"]),
+                                  np.asarray(out_pre["scores"]))
+
+
+def test_prequantize_requires_calibration(tiny_setup):
+    kw, x, v, _, _ = tiny_setup
+    with pytest.raises(ValueError):
+        prequantize(dict(v))
 
 
 def test_deeplab_int8_forward_close_to_fp():
