@@ -73,6 +73,39 @@ def init_or_load_variables(cfg: Config, model, example_img, *,
     return variables
 
 
+def calibrate_for_quant(cfg: Config, variables, size, *, dtype,
+                        use_softmax: bool, calib_glob: str = None,
+                        n_noise: int = 4):
+    """Calibrate int8 activation scales and prequantize the weights.
+
+    ``calib_glob``: shell glob of representative images (recommended);
+    without it, ImageNet-normalized white noise at the target size is used
+    — adequate because post-BN activation ranges are input-distribution
+    robust, but real images are strictly better.
+    """
+    import glob as globmod
+
+    from ..data.native import resize_normalize
+    from ..ops.quant import calibrate, prequantize
+
+    m_cal = build_anomaly_model(cfg, train=False, use_softmax=use_softmax,
+                                dtype=dtype, quant="calib")
+    imgs = []
+    if calib_glob:
+        from PIL import Image
+
+        for p in sorted(globmod.glob(calib_glob))[:16]:
+            arr = resize_normalize(
+                np.asarray(Image.open(p).convert("RGB")), tuple(size))
+            imgs.append(arr[None])
+    if not imgs:
+        rng = np.random.default_rng(0)
+        imgs = [rng.standard_normal((1, *size, 3)).astype(np.float32)
+                for _ in range(n_noise)]
+    variables = calibrate(m_cal, dict(variables), imgs, seg_size=tuple(size))
+    return prequantize(variables)
+
+
 def epoch_checkpoint_path(cfg: Config, kind: str, epoch: int) -> str:
     os.makedirs(cfg.DIR, exist_ok=True)
     return os.path.join(cfg.DIR, f"{kind}_epoch_{epoch}.pkl")

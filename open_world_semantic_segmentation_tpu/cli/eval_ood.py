@@ -40,7 +40,7 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = init_or_load_variables(cfg, model, example)
     if quant != "off":
-        from ..ops.quant import calibrate
+        from ..ops.quant import calibrate, prequantize
 
         m_cal = build_anomaly_model(cfg, train=False, use_softmax=True,
                                     dtype=precision_dtype, quant="calib")
@@ -54,6 +54,7 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
             mid = item["img_data"][len(item["img_data"]) // 2]
             variables = calibrate(m_cal, dict(variables), [mid],
                                   seg_size=item["seg_label"].shape[1:3])
+        variables = prequantize(variables)
         print(f"int8 calibration done on {calib_images} images")
 
     pipeline = ValPipeline(

@@ -26,17 +26,27 @@ from ..core.export import export_eval_fn, save_exported
 
 
 def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
-         batch=1, method="dissum", platforms=None, out="model.owss"):
+         batch=1, method="dissum", platforms=None, out="model.owss",
+         quant="off", calib_glob=None):
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
-                                dtype=precision_dtype)
+                                dtype=precision_dtype, quant=quant)
     variables = init_or_load_variables(
         cfg, model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    if quant != "off":
+        # int8 artifact: calibrated scales + int8 weight constants (4x
+        # smaller serialized payload than f32)
+        from ._common import calibrate_for_quant
+
+        variables = calibrate_for_quant(
+            cfg, variables, (height, width), dtype=precision_dtype,
+            use_softmax=True, calib_glob=calib_glob)
     blob = export_eval_fn(model, variables, (height, width), batch=batch,
                           method=method, platforms=platforms)
     meta = {
         "model": f"{cfg.MODEL.arch_encoder}+{cfg.MODEL.arch_decoder}",
         "input": [batch, height, width, 3],
         "method": method,
+        "quant": quant,
         "platforms": list(platforms) if platforms else None,
     }
     save_exported(out, blob, meta)
@@ -55,10 +65,17 @@ def _entry():
                         help="lowering targets (e.g. tpu cpu); default = "
                              "current backend")
     parser.add_argument("--out", default="model.owss")
+    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+                        default="off",
+                        help="export with int8 PTQ weights/activations")
+    parser.add_argument("--calib-glob", default=None,
+                        help="glob of representative images for int8 "
+                             "activation calibration")
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), args.height, args.width, args.batch,
-         args.method, args.platforms, args.out)
+         args.method, args.platforms, args.out, quant=args.quant,
+         calib_glob=args.calib_glob)
 
 
 if __name__ == "__main__":

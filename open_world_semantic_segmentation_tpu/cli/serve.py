@@ -63,7 +63,8 @@ class Segmenter:
     """Fixed-size jitted forward with PIL in / label-PNG out."""
 
     def __init__(self, cfg, precision_dtype, height: int, width: int,
-                 max_batch: int = 1, batch_wait_ms: float = 5.0):
+                 max_batch: int = 1, batch_wait_ms: float = 5.0,
+                 quant: str = "off", calib_glob: str = None):
         import jax
         import jax.numpy as jnp
 
@@ -73,9 +74,15 @@ class Segmenter:
         self.size = (height, width)
         self.resize_normalize = resize_normalize
         self.model = build_anomaly_model(cfg, train=False, use_softmax=True,
-                                         dtype=precision_dtype)
+                                         dtype=precision_dtype, quant=quant)
         self.variables = init_or_load_variables(
             cfg, self.model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if quant != "off":
+            from ._common import calibrate_for_quant
+
+            self.variables = calibrate_for_quant(
+                cfg, self.variables, self.size, dtype=precision_dtype,
+                use_softmax=True, calib_glob=calib_glob)
         self.model_name = (f"{cfg.MODEL.arch_encoder}+"
                            f"{cfg.MODEL.arch_decoder}")
         self._lock = threading.Lock()
@@ -244,9 +251,11 @@ def make_handler(segmenter: Segmenter):
 
 
 def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
-          width=1280, max_batch=1, batch_wait_ms=5.0):
+          width=1280, max_batch=1, batch_wait_ms=5.0, quant="off",
+          calib_glob=None):
     segmenter = Segmenter(cfg, precision_dtype, height, width,
-                          max_batch=max_batch, batch_wait_ms=batch_wait_ms)
+                          max_batch=max_batch, batch_wait_ms=batch_wait_ms,
+                          quant=quant, calib_glob=calib_glob)
     server = ThreadingHTTPServer((host, port), make_handler(segmenter))
     print(f"serving {segmenter.model_name} on http://{host}:{port} "
           f"(input {height}x{width})", flush=True)
@@ -264,13 +273,20 @@ def main(argv=None):
                              "device dispatch (1 = off)")
     parser.add_argument("--batch-wait-ms", type=float, default=5.0,
                         help="max time to wait for a batch to fill")
+    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+                        default="off",
+                        help="opt-in int8 PTQ inference (ops/quant.py)")
+    parser.add_argument("--calib-glob", default=None,
+                        help="glob of representative images for int8 "
+                             "activation calibration")
     args = parser.parse_args(argv)
     from ._common import parse_config
 
     cfg = parse_config(args)
     server = serve(cfg, compute_dtype(args), args.host, args.port,
                    args.height, args.width, max_batch=args.max_batch,
-                   batch_wait_ms=args.batch_wait_ms)
+                   batch_wait_ms=args.batch_wait_ms, quant=args.quant,
+                   calib_glob=args.calib_glob)
     server.serve_forever()
 
 

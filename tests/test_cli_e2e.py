@@ -68,6 +68,20 @@ def test_train_embedding_then_eval_ood(sh_root, tmp_path, capsys):
     assert result["auroc"] is not None
 
 
+def test_eval_ood_quant_int8(sh_root, tmp_path, capsys):
+    """--quant int8 through the real eval driver: calibrate on the first
+    val images, prequantize, evaluate — reference-format summary out."""
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    cfg = _anomaly_cfg(sh_root, tmp_path)
+    cfg.OOD.ood = "dissum"
+    result = eval_ood.main(cfg, jnp.float32, max_images=2, quant="int8",
+                           calib_images=1)
+    out = capsys.readouterr().out
+    assert "int8 calibration done" in out and "mean auroc" in out
+    assert result["auroc"] is not None
+
+
 def test_eval_ood_all_methods(sh_root, tmp_path, monkeypatch):
     import functools
 

@@ -68,6 +68,31 @@ def test_export_labels_only_and_magic_check(tiny_model, tmp_path):
         load_exported(bad)
 
 
+def test_export_int8_artifact_smaller_and_runs(tmp_path):
+    """--quant int8 artifacts carry int8 weight constants: ~4x smaller
+    serialized payload, loadable and runnable like the fp artifact."""
+    from open_world_semantic_segmentation_tpu.cli import export_model
+    from open_world_semantic_segmentation_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    out_fp = str(tmp_path / "fp.owss")
+    out_q = str(tmp_path / "q.owss")
+    export_model.main(cfg, jnp.float32, height=32, width=48, out=out_fp)
+    export_model.main(cfg, jnp.float32, height=32, width=48, out=out_q,
+                      quant="int8")
+    assert os.path.getsize(out_q) < 0.5 * os.path.getsize(out_fp)
+
+    fn, meta = load_exported(out_q)
+    assert meta["quant"] == "int8"
+    pred, conf = fn(jnp.zeros((1, 32, 48, 3), jnp.float32))
+    assert pred.shape == (1, 32, 48)
+    assert np.isfinite(np.asarray(conf, np.float32)).all()
+
+
 def test_export_cli(tmp_path):
     from open_world_semantic_segmentation_tpu.cli import export_model
     from open_world_semantic_segmentation_tpu.core.config import Config

@@ -161,6 +161,32 @@ def test_microbatched_server():
         srv.shutdown()
 
 
+def test_quantized_server():
+    """--quant int8: server calibrates at startup and serves int8."""
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    srv = serve_mod.serve(cfg, jnp.float32, host="127.0.0.1", port=0,
+                          height=32, width=48, quant="int8")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        img = Image.fromarray(np.random.default_rng(4).integers(
+            0, 255, (40, 64, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = urllib.request.Request(base + "/segment", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            pred = np.array(Image.open(io.BytesIO(r.read())))
+        assert pred.shape == (32, 48) and pred.max() < 13
+    finally:
+        srv.shutdown()
+
+
 def test_metrics_endpoint(server):
     # push one good and one malformed request so counts are self-contained
     img = Image.new("RGB", (48, 32))
