@@ -103,12 +103,22 @@ def calibrate(model, variables, images, seg_size=None):
     its ``quant/amax`` variable over observed inputs). Returns ``variables``
     with the updated ``quant`` collection merged in; feed the result to a
     ``quant="int8"`` model.
+
+    The pass is jitted per input shape — an un-jitted full-res apply would
+    dispatch op-by-op (minutes over a remote-device link).
     """
+    import jax
+
+    kw = {} if seg_size is None else {"seg_size": tuple(seg_size)}
+
+    @jax.jit
+    def step(v, img):
+        _, updates = model.apply(v, img, mutable=["quant"], **kw)
+        return updates["quant"]
+
     for img in images:
         if img.ndim == 3:
             img = img[None]
-        kw = {} if seg_size is None else {"seg_size": seg_size}
-        _, updates = model.apply(variables, jnp.asarray(img),
-                                 mutable=["quant"], **kw)
-        variables = {**variables, "quant": updates["quant"]}
+        quant = step(variables, jnp.asarray(img))
+        variables = {**variables, "quant": quant}
     return variables

@@ -10,9 +10,13 @@ pytestmark = pytest.mark.e2e
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_bench_json_contract(capsys):
+def test_bench_json_contract(capsys, monkeypatch):
     import bench
 
+    # bench.main setdefaults OWSS_RESIZE_IMPL=mxu process-wide; pre-set it
+    # through monkeypatch so the leak is undone at teardown (later tests
+    # must not inherit a different resize formulation)
+    monkeypatch.setenv("OWSS_RESIZE_IMPL", "mxu")
     line = bench.main(arch_encoder="resnet18dilated", fc_dim=512,
                       pyramid=[(24, 32), (32, 40)], full_size=(48, 64),
                       n_imgs=2, n_iters=1)

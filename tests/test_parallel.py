@@ -98,6 +98,42 @@ def test_sharded_eval_matches_per_image():
     np.testing.assert_array_equal(preds_sharded, preds_single)
 
 
+def test_sharded_int8_eval_matches_single_device():
+    """int8 PTQ composes with SPMD: a data-sharded int8 eval produces the
+    same predictions as the unsharded int8 program (s8xs8->s32 convs under
+    GSPMD)."""
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.ops.quant import (
+        calibrate, prequantize)
+
+    kw = dict(num_class=13, fc_dim=512)
+    m_off = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", **kw)
+    m_cal = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="calib", **kw)
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8", **kw)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    variables = m_off.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    v_q = prequantize(calibrate(m_cal, dict(variables), [x[:1]],
+                                seg_size=(32, 32)))
+
+    mesh = make_mesh(8)
+    xs = jax.device_put(x, data_sharding(mesh))
+    vqs = replicate(v_q, mesh)
+
+    @jax.jit
+    def fwd(v, a):
+        out = m_q.apply(v, a, seg_size=(32, 32))
+        return jnp.argmax(out["scores"], axis=-1)
+
+    preds_sharded = np.asarray(fwd(vqs, xs))
+    preds_single = np.asarray(fwd(v_q, jnp.asarray(x)))
+    np.testing.assert_array_equal(preds_sharded, preds_single)
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(8)
     batch = {"a": np.zeros((16, 3)), "b": np.ones((16,))}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Cityscapes-eval throughput on one chip (the second headline workload).
+
+BASELINE configs #3/#4 evaluate DeepLabV3+ embedding models on full-res
+1024x2048 Cityscapes (DeepLabV3Plus-Pytorch/test_embedding.py): single
+forward per image, distance logits vs one-hot centers, argmax. This tool
+measures imgs/sec/chip for that program (bf16, and optionally int8 PTQ)
+using the same scan-of-images single-dispatch method as bench.py.
+
+Usage:
+    python tools/bench_deeplab.py [--quant int8] [--imgs 8] [--iters 2]
+        [--height 1024 --width 2048] [--model resnet101]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
+         quant="off"):
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_resnet101,
+        deeplabv3plus_embedding_resnet50,
+    )
+
+    factory = {101: deeplabv3plus_embedding_resnet101,
+               50: deeplabv3plus_embedding_resnet50}[model_depth]
+    rng = np.random.default_rng(0)
+    model = factory(num_classes=16, dtype=jnp.bfloat16)
+    init_x = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), init_x)
+    if quant != "off":
+        from open_world_semantic_segmentation_tpu.ops.quant import (
+            calibrate, prequantize)
+
+        m_cal = factory(num_classes=16, dtype=jnp.bfloat16, quant="calib")
+        cal = [rng.standard_normal(
+            (1, height, width, 3)).astype(np.float32)]
+        variables = prequantize(calibrate(m_cal, dict(variables), cal))
+        model = factory(num_classes=16, dtype=jnp.bfloat16, quant=quant)
+
+    def eval_stream(variables, imgs):
+        def body(carry, img):
+            logits, _, _ = model.apply(variables, img)
+            pred = jnp.argmax(logits, axis=-1)
+            return carry + jnp.sum(pred), ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), imgs)
+        return total
+
+    fn = jax.jit(eval_stream)
+    imgs = jnp.asarray(
+        rng.standard_normal((n_imgs, 1, height, width, 3)), jnp.float32)
+    int(fn(variables, imgs))  # compile + sync (scalar readback)
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, imgs)
+    int(out)
+    dt = (time.perf_counter() - tic) / (n_iters * n_imgs)
+    print(json.dumps({
+        "metric": f"cityscapes_deeplab{model_depth}_eval",
+        "value": round(1.0 / dt, 4),
+        "unit": "imgs/sec/chip",
+        "quant": quant,
+        "input": [height, width],
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", type=int, default=101, choices=[50, 101])
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--imgs", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--quant", default="off",
+                    choices=["off", "int8", "int8-3x3"])
+    args = ap.parse_args()
+    main(args.model, args.height, args.width, args.imgs, args.iters,
+         args.quant)
