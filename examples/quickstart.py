@@ -86,6 +86,29 @@ def main():
           "| pixels claimed by novel class:",
           int((np.asarray(new_preds) == 13).sum()))
 
+    # 5. deployment: int8 PTQ + a self-contained AOT artifact
+    from open_world_semantic_segmentation_tpu.ops.quant import (
+        calibrate, prequantize)
+    from open_world_semantic_segmentation_tpu.core.export import (
+        export_eval_fn, load_exported, save_exported)
+
+    m_cal = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        quant="calib")
+    m_int8 = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        quant="int8")
+    cal_img = rng.standard_normal((1, 48, 64, 3)).astype(np.float32)
+    q_vars = prequantize(calibrate(m_cal, dict(eval_vars), [cal_img],
+                                   seg_size=(48, 64)))
+    blob = export_eval_fn(m_int8, q_vars, (48, 64), method="dissum")
+    path = os.path.join(root, "model_int8.owss")
+    save_exported(path, blob, {"model": "quickstart-int8"})
+    fn, meta = load_exported(path)
+    pred, conf = fn(jnp.asarray(cal_img))
+    print(f"int8 artifact: {os.path.getsize(path) / 1e6:.1f} MB,",
+          "pred shape", pred.shape)
+
 
 if __name__ == "__main__":
     main()
