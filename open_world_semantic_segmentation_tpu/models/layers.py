@@ -106,6 +106,22 @@ class ConvBN(nn.Module):
             quant = "int8" if tuple(self.kernel_size) != (1, 1) else "off"
         if quant in ("calib", "int8"):
             x = self._quantized_conv(x, pad, quant)
+        elif self._use_shift_dilated(pad):
+            # OWSS_DILATED_IMPL=shift: large-dilation 3x3 as nine shifted
+            # MXU matmuls (ops/dilated.py) — XLA's native lowering tiles
+            # poorly at ASPP-scale dilations
+            from ..ops.dilated import dilated_conv3x3_shift
+
+            kernel = self.variable(
+                "params", "conv",
+                lambda: {"kernel": self.conv_init(
+                    self.make_rng("params"),
+                    (*self.kernel_size, x.shape[-1], self.features),
+                    jnp.float32)},
+            ).value["kernel"]
+            x = dilated_conv3x3_shift(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.dilation)
         else:
             x = nn.Conv(
                 self.features,
@@ -124,6 +140,17 @@ class ConvBN(nn.Module):
         if self.relu:
             x = nn.relu(x)
         return x
+
+    def _use_shift_dilated(self, pad) -> bool:
+        import os
+
+        d = self.dilation
+        return (os.environ.get("OWSS_DILATED_IMPL") == "shift"
+                and tuple(self.kernel_size) == (3, 3)
+                and tuple(self.strides) == (1, 1)
+                and self.groups == 1
+                and max(d) >= 6
+                and pad == ((d[0], d[0]), (d[1], d[1])))
 
     def _quantized_conv(self, x, pad, quant):
         """int8 conv path sharing the fp32 ``conv/kernel`` param."""

@@ -26,10 +26,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
-         quant="off"):
+         quant="off", dilated_impl=None):
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
     os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
+    if dilated_impl:
+        os.environ["OWSS_DILATED_IMPL"] = dilated_impl
 
     import jax
     import jax.numpy as jnp
@@ -78,6 +80,7 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         "value": round(1.0 / dt, 4),
         "unit": "imgs/sec/chip",
         "quant": quant,
+        "dilated_impl": dilated_impl or "native",
         "input": [height, width],
     }))
 
@@ -91,6 +94,9 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--quant", default="off",
                     choices=["off", "int8", "int8-3x3"])
+    ap.add_argument("--dilated-impl", default=None, choices=["shift"],
+                    help="route ASPP-scale dilated convs through the "
+                         "shift+matmul formulation (ops/dilated.py)")
     args = ap.parse_args()
     main(args.model, args.height, args.width, args.imgs, args.iters,
-         args.quant)
+         args.quant, args.dilated_impl)

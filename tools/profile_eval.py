@@ -21,7 +21,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/owss_trace")
     ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--pipeline", default="streethazards",
+                    choices=["streethazards", "deeplab"],
+                    help="streethazards = 5-scale PSPNet OOD eval; "
+                         "deeplab = full-res 1024x2048 Cityscapes eval")
     args = ap.parse_args()
+    if args.pipeline == "deeplab":
+        return main_deeplab(args)
 
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
@@ -62,6 +68,38 @@ def main():
         for i in range(args.images):
             with annotate(f"eval_image_{i}"):
                 float(eval_image(variables, pyr))
+    print("trace written to", args.out)
+
+
+def main_deeplab(args):
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_resnet101)
+    from open_world_semantic_segmentation_tpu.utils.observability import (
+        profile_trace, annotate)
+
+    model = deeplabv3plus_embedding_resnet101(num_classes=16,
+                                              dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 1024, 2048, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd(variables, img):
+        logits, _, _ = model.apply(variables, img)
+        return jnp.sum(jnp.argmax(logits, axis=-1))
+
+    int(fwd(variables, x))  # compile outside the trace
+    with profile_trace(args.out):
+        for i in range(args.images):
+            with annotate(f"deeplab_eval_{i}"):
+                int(fwd(variables, x))
     print("trace written to", args.out)
 
 
