@@ -67,7 +67,8 @@ def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
     rng = np.random.default_rng(0)
     init_img = jnp.zeros((1, *pyramid_shapes[0], 3), jnp.float32)
     if quant != "off":
-        from open_world_semantic_segmentation_tpu.ops.quant import calibrate
+        from open_world_semantic_segmentation_tpu.ops.quant import (
+            calibrate, prequantize)
 
         m_cal = ModelBuilder.build_segmentation_model(
             arch_encoder, "ppm_deepsup_embedding", num_class=13,
@@ -81,16 +82,18 @@ def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
         variables = calibrate(m_cal, dict(variables), cal_imgs,
                               seg_size=full_size)
         if prequant:
-            from open_world_semantic_segmentation_tpu.ops.quant import (
-                prequantize)
-
-            variables = prequantize(variables)
+            variables = prequantize(variables, mode=quant)
     else:
         variables = model.init(jax.random.PRNGKey(0), init_img)
     if cast_params:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, variables)
+        # cast only the model weights/stats — quant scales (amax/w_scale)
+        # are consumed in f32 arithmetic and must stay exact
+        variables = {
+            k: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, v)
+            if k in ("params", "batch_stats") else v
+            for k, v in variables.items()}
 
     def eval_image(variables, pyramid):
         scores = None

@@ -88,7 +88,7 @@ def main():
 
     # 5. deployment: int8 PTQ + a self-contained AOT artifact
     from open_world_semantic_segmentation_tpu.ops.quant import (
-        calibrate, prequantize)
+        calibrate_and_prequantize)
     from open_world_semantic_segmentation_tpu.core.export import (
         export_eval_fn, load_exported, save_exported)
 
@@ -99,8 +99,8 @@ def main():
         "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
         quant="int8")
     cal_img = rng.standard_normal((1, 48, 64, 3)).astype(np.float32)
-    q_vars = prequantize(calibrate(m_cal, dict(eval_vars), [cal_img],
-                                   seg_size=(48, 64)))
+    q_vars = calibrate_and_prequantize(m_cal, eval_vars, [cal_img],
+                                       seg_size=(48, 64))
     blob = export_eval_fn(m_int8, q_vars, (48, 64), method="dissum")
     path = os.path.join(root, "model_int8.owss")
     save_exported(path, blob, {"model": "quickstart-int8"})

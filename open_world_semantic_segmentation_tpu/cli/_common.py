@@ -75,7 +75,7 @@ def init_or_load_variables(cfg: Config, model, example_img, *,
 
 def calibrate_for_quant(cfg: Config, variables, size, *, dtype,
                         use_softmax: bool, calib_glob: str = None,
-                        n_noise: int = 4):
+                        n_noise: int = 4, quant: str = "int8"):
     """Calibrate int8 activation scales and prequantize the weights.
 
     ``calib_glob``: shell glob of representative images (recommended);
@@ -86,7 +86,7 @@ def calibrate_for_quant(cfg: Config, variables, size, *, dtype,
     import glob as globmod
 
     from ..data.native import resize_normalize
-    from ..ops.quant import calibrate, prequantize
+    from ..ops.quant import calibrate_and_prequantize
 
     m_cal = build_anomaly_model(cfg, train=False, use_softmax=use_softmax,
                                 dtype=dtype, quant="calib")
@@ -102,8 +102,8 @@ def calibrate_for_quant(cfg: Config, variables, size, *, dtype,
         rng = np.random.default_rng(0)
         imgs = [rng.standard_normal((1, *size, 3)).astype(np.float32)
                 for _ in range(n_noise)]
-    variables = calibrate(m_cal, dict(variables), imgs, seg_size=tuple(size))
-    return prequantize(variables)
+    return calibrate_and_prequantize(m_cal, variables, imgs,
+                                     seg_size=tuple(size), mode=quant)
 
 
 def epoch_checkpoint_path(cfg: Config, kind: str, epoch: int) -> str:

@@ -50,11 +50,17 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
             img_max_size=cfg.DATASET.imgMaxSize,
             padding_constant=cfg.DATASET.padding_constant,
             max_sample=calib_images)
+        # group by (input shape, seg size) so each shape compiles ONE
+        # calibration program reused across its images
+        groups = {}
         for item in cal_pipe:
             mid = item["img_data"][len(item["img_data"]) // 2]
-            variables = calibrate(m_cal, dict(variables), [mid],
-                                  seg_size=item["seg_label"].shape[1:3])
-        variables = prequantize(variables)
+            key = (mid.shape, tuple(item["seg_label"].shape[1:3]))
+            groups.setdefault(key, []).append(mid)
+        for (_, seg), imgs in groups.items():
+            variables = calibrate(m_cal, dict(variables), imgs,
+                                  seg_size=seg)
+        variables = prequantize(variables, mode=quant)
         print(f"int8 calibration done on {calib_images} images")
 
     pipeline = ValPipeline(

@@ -39,7 +39,7 @@ def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
 
         variables = calibrate_for_quant(
             cfg, variables, (height, width), dtype=precision_dtype,
-            use_softmax=True, calib_glob=calib_glob)
+            use_softmax=True, calib_glob=calib_glob, quant=quant)
     blob = export_eval_fn(model, variables, (height, width), batch=batch,
                           method=method, platforms=platforms)
     meta = {

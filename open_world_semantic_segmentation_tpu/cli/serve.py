@@ -82,7 +82,7 @@ class Segmenter:
 
             self.variables = calibrate_for_quant(
                 cfg, self.variables, self.size, dtype=precision_dtype,
-                use_softmax=True, calib_glob=calib_glob)
+                use_softmax=True, calib_glob=calib_glob, quant=quant)
         self.model_name = (f"{cfg.MODEL.arch_encoder}+"
                            f"{cfg.MODEL.arch_decoder}")
         self._lock = threading.Lock()

@@ -52,7 +52,7 @@ def quantize_act(x, amax):
     return x_q, scale
 
 
-def prequantize(variables):
+def prequantize(variables, mode: str = "int8"):
     """Quantize conv kernels OFFLINE into the variables tree.
 
     The inline path re-derives int8 kernels from the f32 params inside the
@@ -64,6 +64,11 @@ def prequantize(variables):
     ConvBN's int8 path detects the int8 kernel dtype and skips the inline
     quantization. Quantized convs are identified by the presence of their
     ``amax`` (i.e. run :func:`calibrate` first).
+
+    ``mode`` must match the eval model's quant mode: under "int8-3x3" the
+    model routes 1x1 convs through the plain (un-quantized) conv path,
+    which would consume a raw int8 kernel without dequantizing — so their
+    kernels must stay fp32.
     """
     import jax
 
@@ -73,6 +78,7 @@ def prequantize(variables):
     if quant is None:
         raise ValueError("prequantize requires a calibrated 'quant' "
                          "collection (run calibrate first)")
+    skip_1x1 = mode == "int8-3x3"
 
     def walk(p, q):
         if not isinstance(q, dict):
@@ -80,6 +86,8 @@ def prequantize(variables):
         if "amax" in q and isinstance(p, dict) and "conv" in p:
             kernel = p["conv"]["kernel"]
             if kernel.dtype == jnp.int8:  # already prequantized: no-op
+                return p, q
+            if skip_1x1 and kernel.shape[0] == kernel.shape[1] == 1:
                 return p, q
             w_q, s_w = quantize_weight(kernel)
             p = {**p, "conv": {**p["conv"], "kernel": w_q}}
@@ -94,6 +102,16 @@ def prequantize(variables):
 
     new_params, new_quant = walk(dict(params), dict(quant))
     return {**variables, "params": new_params, "quant": new_quant}
+
+
+def calibrate_and_prequantize(calib_model, variables, images, seg_size=None,
+                              mode: str = "int8"):
+    """One-call PTQ preparation: record activation scales over ``images``
+    with the ``quant="calib"`` twin model, then quantize the weights
+    offline for a ``quant=mode`` eval model."""
+    variables = calibrate(calib_model, dict(variables), images,
+                          seg_size=seg_size)
+    return prequantize(variables, mode=mode)
 
 
 def calibrate(model, variables, images, seg_size=None):

@@ -126,6 +126,29 @@ def test_prequantized_matches_inline_int8(tiny_setup):
                                   np.asarray(out_pre["scores"]))
 
 
+def test_prequantized_int8_3x3_keeps_1x1_fp(tiny_setup):
+    """mode='int8-3x3' prequantization must leave 1x1 kernels fp32: the
+    eval model routes them through the plain conv path, which would
+    consume a raw int8 kernel without dequantizing (garbage outputs)."""
+    kw, x, v, v_cal, s_off = tiny_setup
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8-3x3", **kw)
+    out_inline = m_q.apply(v_cal, x, seg_size=(48, 48))
+    v_pre = prequantize(v_cal, mode="int8-3x3")
+    # 1x1 kernels stayed fp32
+    for p, leaf in jax.tree_util.tree_flatten_with_path(
+            v_pre["params"])[0]:
+        if "kernel" in jax.tree_util.keystr(p) and leaf.ndim == 4 \
+                and leaf.shape[0] == leaf.shape[1] == 1:
+            assert leaf.dtype == jnp.float32, jax.tree_util.keystr(p)
+    out_pre = m_q.apply(v_pre, x, seg_size=(48, 48))
+    np.testing.assert_array_equal(np.asarray(out_inline["scores"]),
+                                  np.asarray(out_pre["scores"]))
+    # and the result is still close to the fp reference (i.e. not garbage)
+    s_pre = np.asarray(out_pre["scores"][0], np.float32)
+    assert (s_off.argmax(-1) == s_pre.argmax(-1)).mean() > 0.9
+
+
 def test_prequantize_requires_calibration(tiny_setup):
     kw, x, v, _, _ = tiny_setup
     with pytest.raises(ValueError):

@@ -33,7 +33,24 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    # the xplane proto ships in different places per TF/tensorboard
+    # version; this tool needs any ONE of them (dev-only dependency)
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "tensorflow.core.profiler.protobuf.xplane_pb2",
+                "tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "xprof.protobuf.xplane_pb2"):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise SystemExit(
+            "no xplane proto module available — install tensorflow or "
+            "tensorboard_plugin_profile to analyze traces")
 
     path = find_xplane(args.logdir)
     xs = xplane_pb2.XSpace()

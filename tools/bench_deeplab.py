@@ -49,12 +49,13 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
     variables = model.init(jax.random.PRNGKey(0), init_x)
     if quant != "off":
         from open_world_semantic_segmentation_tpu.ops.quant import (
-            calibrate, prequantize)
+            calibrate_and_prequantize)
 
         m_cal = factory(num_classes=16, dtype=jnp.bfloat16, quant="calib")
         cal = [rng.standard_normal(
             (1, height, width, 3)).astype(np.float32)]
-        variables = prequantize(calibrate(m_cal, dict(variables), cal))
+        variables = calibrate_and_prequantize(m_cal, variables, cal,
+                                              mode=quant)
         model = factory(num_classes=16, dtype=jnp.bfloat16, quant=quant)
 
     def eval_stream(variables, imgs):
