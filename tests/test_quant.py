@@ -173,6 +173,47 @@ def test_deeplab_int8_forward_close_to_fp():
     assert agree > 0.9, f"argmax agreement {agree}"
 
 
+def test_calibrate_for_quant_with_image_glob(tmp_path):
+    """CLI-side calibration helper: real image files via --calib-glob."""
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli._common import (
+        calibrate_for_quant)
+    from open_world_semantic_segmentation_tpu.core.config import Config
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3),
+                                     dtype=np.uint8)).save(
+            str(tmp_path / f"cal_{i}.png"))
+
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    m_off = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        fc_dim=512)
+    v = m_off.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, 48, 3), jnp.float32))
+    v_q = calibrate_for_quant(cfg, v, (32, 48), dtype=jnp.float32,
+                              use_softmax=True,
+                              calib_glob=str(tmp_path / "cal_*.png"),
+                              quant="int8")
+    assert "quant" in v_q
+    n_int8 = sum(1 for leaf in jax.tree_util.tree_leaves(v_q["params"])
+                 if leaf.dtype == jnp.int8)
+    assert n_int8 > 0
+    # and the int8 model runs on the calibrated tree
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        fc_dim=512, quant="int8")
+    out = m_q.apply(v_q, jnp.zeros((1, 32, 48, 3), jnp.float32),
+                    seg_size=(32, 48))
+    assert out["scores"].shape == (1, 32, 48, 13)
+
+
 def test_quant_stages_override():
     enc = ModelBuilder.build_encoder("resnet18dilated", quant="int8",
                                      quant_stages=(0, 1, 2, 3))
