@@ -69,7 +69,12 @@ def init_or_load_variables(cfg: Config, model, example_img, *,
         elif enc_w.endswith(".pkl") or dec_w.endswith(".pkl"):
             from ..train import load_checkpoint
 
-            variables, _ = load_checkpoint(enc_w or dec_w, target=variables)
+            # partial: the reference loads strict=False (models.py:178-182);
+            # also required when the eval model carries extra variable
+            # collections absent from the checkpoint (e.g. int8 'quant'
+            # scales, which calibration fills afterwards)
+            variables, _ = load_checkpoint(enc_w or dec_w, target=variables,
+                                           partial=True)
     return variables
 
 
@@ -94,10 +99,17 @@ def calibrate_for_quant(cfg: Config, variables, size, *, dtype,
     if calib_glob:
         from PIL import Image
 
-        for p in sorted(globmod.glob(calib_glob))[:16]:
+        matched = sorted(globmod.glob(calib_glob))
+        if not matched:
+            raise FileNotFoundError(
+                f"--calib-glob {calib_glob!r} matched no files — refusing "
+                "to silently calibrate on white noise")
+        for p in matched[:16]:
             arr = resize_normalize(
                 np.asarray(Image.open(p).convert("RGB")), tuple(size))
             imgs.append(arr[None])
+        print(f"int8 calibration: {len(imgs)} image(s) used "
+              f"({len(matched)} matched {calib_glob!r}, cap 16)")
     if not imgs:
         rng = np.random.default_rng(0)
         imgs = [rng.standard_normal((1, *size, 3)).astype(np.float32)

@@ -50,13 +50,17 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
             img_max_size=cfg.DATASET.imgMaxSize,
             padding_constant=cfg.DATASET.padding_constant,
             max_sample=calib_images)
-        # group by (input shape, seg size) so each shape compiles ONE
-        # calibration program reused across its images
+        # calibrate on the SMALLEST and LARGEST pyramid scales so the
+        # recorded amax bounds the whole 5-scale range evaluation runs
+        # (all scales share the per-tensor amax variables); group by
+        # (input shape, seg size) so each shape compiles ONE calibration
+        # program reused across its images
         groups = {}
         for item in cal_pipe:
-            mid = item["img_data"][len(item["img_data"]) // 2]
-            key = (mid.shape, tuple(item["seg_label"].shape[1:3]))
-            groups.setdefault(key, []).append(mid)
+            pyr = item["img_data"]
+            for im in {id(pyr[0]): pyr[0], id(pyr[-1]): pyr[-1]}.values():
+                key = (im.shape, tuple(item["seg_label"].shape[1:3]))
+                groups.setdefault(key, []).append(im)
         for (_, seg), imgs in groups.items():
             variables = calibrate(m_cal, dict(variables), imgs,
                                   seg_size=seg)
@@ -100,9 +104,11 @@ def _entry():
     parser.add_argument("--device-metrics", action="store_true",
                         help="compute AUROC/AUPR/FPR on-chip (fast path; "
                              "the host f64 sweep is the parity default)")
-    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+    parser.add_argument("--quant",
+                        choices=["off", "int8", "int8-3x3", "w4a8"],
                         default="off",
-                        help="opt-in int8 PTQ inference (ops/quant.py); "
+                        help="opt-in PTQ inference (ops/quant.py): int8 "
+                             "activations+weights, or w4a8 (int4 weights); "
                              "bounded numeric drift, ~1.2-1.5x throughput")
     args = parser.parse_args()
     cfg = parse_config(args)

@@ -22,12 +22,20 @@ from ._common import (
     init_or_load_variables,
     parse_config,
 )
-from ..core.export import export_eval_fn, save_exported
+from ..core.export import (
+    export_eval_fn,
+    export_pyramid_eval_fn,
+    save_exported,
+)
 
 
 def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
          batch=1, method="dissum", platforms=None, out="model.owss",
-         quant="off", calib_glob=None):
+         quant="off", calib_glob=None, pyramid=False):
+    """``pyramid=True`` exports the FULL multi-scale eval pipeline (one
+    forward per cfg.DATASET.imgSizes scale, scores averaged at
+    (height, width), conf + argmax) as one artifact; otherwise a
+    single-scale forward at (height, width)."""
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype, quant=quant)
     variables = init_or_load_variables(
@@ -40,11 +48,26 @@ def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
         variables = calibrate_for_quant(
             cfg, variables, (height, width), dtype=precision_dtype,
             use_softmax=True, calib_glob=calib_glob, quant=quant)
-    blob = export_eval_fn(model, variables, (height, width), batch=batch,
-                          method=method, platforms=platforms)
+    if pyramid:
+        from ..data.odgt import eval_pyramid_shapes
+
+        shapes = eval_pyramid_shapes(
+            height, width, cfg.DATASET.imgSizes, cfg.DATASET.imgMaxSize,
+            cfg.DATASET.padding_constant)
+        blob = export_pyramid_eval_fn(
+            model, variables, shapes, (height, width), batch=batch,
+            method=method, platforms=platforms)
+        input_spec = [[batch, h, w, 3] for h, w in shapes]
+    else:
+        blob = export_eval_fn(model, variables, (height, width),
+                              batch=batch, method=method,
+                              platforms=platforms)
+        input_spec = [batch, height, width, 3]
     meta = {
         "model": f"{cfg.MODEL.arch_encoder}+{cfg.MODEL.arch_decoder}",
-        "input": [batch, height, width, 3],
+        "input": input_spec,
+        "full_size": [height, width],
+        "pyramid": bool(pyramid),
         "method": method,
         "quant": quant,
         "platforms": list(platforms) if platforms else None,
@@ -71,11 +94,14 @@ def _entry():
     parser.add_argument("--calib-glob", default=None,
                         help="glob of representative images for int8 "
                              "activation calibration")
+    parser.add_argument("--pyramid", action="store_true",
+                        help="export the full multi-scale eval pipeline "
+                             "(one input per DATASET.imgSizes scale)")
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), args.height, args.width, args.batch,
          args.method, args.platforms, args.out, quant=args.quant,
-         calib_glob=args.calib_glob)
+         calib_glob=args.calib_glob, pyramid=args.pyramid)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,12 @@ def get_datasets(cfg, train_tf, val_tf):
         val_ds = VOCSegmentation(cfg.DATASET.root_dataset, image_set="val",
                                  transform=val_tf)
         return train_ds, val_ds
-    unknown = tuple(d.unknown_target) if "embedding" in d.model else None
+    # embedding models always train open-world; DEEPLAB.unknown_scores
+    # activates the remap for plain models too (test.py evaluates plain
+    # checkpoints against the remapped val set — reference Cityscapes
+    # defaults unknown_target=[14,15], cityscapes.py:71)
+    unknown = (tuple(d.unknown_target)
+               if ("embedding" in d.model or d.unknown_scores) else None)
     train_ds = Cityscapes(cfg.DATASET.root_dataset, split="train",
                           transform=train_tf, unknown_target=unknown)
     val_ds = Cityscapes(cfg.DATASET.root_dataset, split="val",
@@ -130,6 +135,11 @@ def validate(model, variables, val_ds, metrics: StreamSegMetrics,
 
 def main(cfg, precision_dtype=jnp.bfloat16, max_steps=None):
     d = cfg.DEEPLAB
+    if d.test_only:
+        # eval-only surface (main.py --test_only, main.py:156-240)
+        from . import test_deeplab
+
+        return test_deeplab.main(cfg, precision_dtype)
     model, num_classes = build_model(cfg, train=True, dtype=precision_dtype)
     eval_model, _ = build_model(cfg, train=False, dtype=precision_dtype)
 

@@ -21,7 +21,9 @@ program at a time anyway).
 With ``--max-batch N`` (default 1 = off) concurrent requests are
 micro-batched: a collector thread coalesces up to N decoded images that
 arrive within ``--batch-wait-ms`` into ONE device dispatch (padded to the
-next power-of-two batch size, each size compiled at startup). Batch-8
+next power-of-two batch size). Startup compiles only batch size 1; the
+larger sizes warm in a background thread, so startup time is no longer
+linear in the batch-size ladder. Batch-8
 inference amortizes per-dispatch overhead and raises device utilization
 under concurrent load — the standard production-serving pattern.
 
@@ -98,17 +100,23 @@ class Segmenter:
                     jax.vmap(dissum_conf)(scores).astype(jnp.float16))
 
         self._fwd = fwd
-        # compile every padded batch size at startup so no request ever
-        # waits on a compile
+        # startup compiles ONLY batch size 1 (the server answers its first
+        # request immediately); the larger padded sizes warm concurrently
+        # in a background thread — a request landing on a not-yet-warm
+        # size just blocks on that one compile instead of every startup
+        # paying the full serial ladder
         self.max_batch = max(1, int(max_batch))
         self.batch_wait = batch_wait_ms / 1e3
         self._batch_sizes = [1]
         while self._batch_sizes[-1] < self.max_batch:
             self._batch_sizes.append(
                 min(self._batch_sizes[-1] * 2, self.max_batch))
-        for b in self._batch_sizes:
-            self._fwd(self.variables,
-                      jnp.zeros((b, height, width, 3), jnp.float32))
+        self._jnp = jnp
+        self._fwd(self.variables,
+                  jnp.zeros((1, height, width, 3), jnp.float32))
+        self.warmed = [1]
+        if len(self._batch_sizes) > 1:
+            threading.Thread(target=self._warm_batches, daemon=True).start()
 
         self._queue = None
         if self.max_batch > 1:
@@ -116,6 +124,16 @@ class Segmenter:
 
             self._queue = queue.Queue()
             threading.Thread(target=self._collector, daemon=True).start()
+
+    def _warm_batches(self):
+        """Background compile of the non-unit padded batch sizes (jit
+        dispatch is thread-safe; a concurrent request for the same shape
+        simply waits on the same cache entry)."""
+        for b in self._batch_sizes[1:]:
+            self._fwd(self.variables,
+                      self._jnp.zeros((b, *self.size, 3),
+                                      self._jnp.float32))
+            self.warmed.append(b)
 
     def _run_batch(self, arrs):
         """One padded device dispatch over a list of HWC float arrays."""
@@ -196,6 +214,7 @@ class Segmenter:
         n = s.pop("latency_ms_sum"), s["requests"]
         s["latency_ms_avg"] = round(n[0] / n[1], 3) if n[1] else 0.0
         s["latency_ms_max"] = round(s["latency_ms_max"], 3)
+        s["warmed_batch_sizes"] = list(self.warmed)
         return s
 
 
@@ -212,21 +231,22 @@ def make_handler(segmenter: Segmenter):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.startswith("/healthz"):
+            route = self.path.split("?", 1)[0]
+            if route == "/healthz":
                 body = json.dumps({
                     "status": "ok",
                     "model": segmenter.model_name,
                     "input": list(segmenter.size),
                 }).encode()
                 self._send(200, body, "application/json")
-            elif self.path.startswith("/metrics"):
+            elif route == "/metrics":
                 self._send(200, json.dumps(segmenter.metrics()).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if not self.path.startswith("/segment"):
+            if self.path.split("?", 1)[0] != "/segment":
                 self._send(404, b"not found", "text/plain")
                 return
             length = int(self.headers.get("Content-Length", 0))

@@ -106,6 +106,14 @@ class DeepLabConfig:
     separable_conv: bool = False
     random_seed: int = 1
     unknown_target: Tuple[int, ...] = (14, 15)
+    # eval-only surface (main.py --test_only/--ckpt/--save_val_results,
+    # main.py:156-240 and test.py)
+    test_only: bool = False
+    ckpt: str = ""
+    save_val_results: bool = False
+    # test.py's per-image open-set AUROC/FPR95/AUPR on the MSP map
+    # (test.py:205-249); auto-enabled for embedding models
+    unknown_scores: bool = False
 
 
 @dataclass

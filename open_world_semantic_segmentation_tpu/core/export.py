@@ -67,6 +67,59 @@ def export_eval_fn(model, variables, input_size: Tuple[int, int],
     return exported.serialize()
 
 
+def export_pyramid_eval_fn(model, variables,
+                           pyramid_shapes: Sequence[Tuple[int, int]],
+                           full_size: Tuple[int, int],
+                           batch: int = 1, method: str = "dissum",
+                           platforms: Optional[Sequence[str]] = None
+                           ) -> bytes:
+    """Serialize the FULL multi-scale eval pipeline as ONE artifact.
+
+    The flagship path (anomaly/eval_ood_traditional.py:198-218 semantics,
+    what bench.py measures): one forward per pyramid scale, scores
+    averaged at ``full_size`` resolution, OOD confidence + argmax — all in
+    a single exported computation. The artifact takes one array per scale
+    (``(batch, h_i, w_i, 3)`` in ``pyramid_shapes`` order, the data
+    pipeline's ``img_data`` pyramid) and returns ``(uint8 labels, f16
+    conf)``. Works with prequantized int8 variables when ``model`` was
+    built with the matching ``quant`` mode.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from ..openset import scoring
+
+    conf_fn = {
+        "dissum": scoring.dissum_conf,
+        "msp": scoring.msp_conf,
+        "maxlogit": scoring.maxlogit_conf,
+        "none": None,
+    }[method]
+
+    def fwd(*pyramid):
+        scores = None
+        for img in pyramid:
+            out = model.apply(variables, img, seg_size=full_size)
+            s = out["scores"]
+            # accumulate in the model dtype (bench.py rationale: an f32
+            # copy of each full-res score map is pure HBM tail traffic)
+            scores = s if scores is None else scores + s
+        scores = scores.astype(jnp.float32) / len(pyramid)
+        pred = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+        if conf_fn is None:
+            return pred
+        return pred, jax.vmap(conf_fn)(scores).astype(jnp.float16)
+
+    specs = tuple(
+        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+        for h, w in pyramid_shapes)
+    exported = jex.export(jax.jit(fwd),
+                          platforms=tuple(platforms) if platforms else None)(
+        *specs)
+    return exported.serialize()
+
+
 def save_exported(path: str, blob: bytes, meta: Optional[dict] = None):
     """Write MAGIC + JSON metadata line + the serialized artifact."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -70,6 +70,24 @@ def round2nearest_multiple(x: int, p: int) -> int:
     return ((x - 1) // p + 1) * p
 
 
+def eval_pyramid_shapes(src_h: int, src_w: int,
+                        img_sizes=(300, 375, 450, 525, 600),
+                        img_max_size: int = 1000,
+                        padding_constant: int = 8):
+    """(h, w) of each eval-pyramid scale for a source image: short edge to
+    each of ``img_sizes`` capped by ``img_max_size`` on the long edge,
+    both rounded up to ``padding_constant`` (dataset.py:281-297)."""
+    shapes = []
+    for short in img_sizes:
+        scale = min(short / float(min(src_h, src_w)),
+                    img_max_size / float(max(src_h, src_w)))
+        shapes.append((round2nearest_multiple(int(src_h * scale),
+                                              padding_constant),
+                       round2nearest_multiple(int(src_w * scale),
+                                              padding_constant)))
+    return shapes
+
+
 def imresize(im: Image.Image, size, interp="bilinear") -> Image.Image:
     resample = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
                 "bicubic": Image.BICUBIC}[interp]
@@ -249,15 +267,9 @@ class ValPipeline:
         assert segm.mode == "L" and img.size == segm.size
 
         ow, oh = img.size
-        shapes = []
-        for short in self.img_sizes:
-            scale = min(short / float(min(oh, ow)),
-                        self.img_max_size / float(max(oh, ow)))
-            tw = round2nearest_multiple(int(ow * scale),
-                                        self.padding_constant)
-            th = round2nearest_multiple(int(oh * scale),
-                                        self.padding_constant)
-            shapes.append((th, tw))
+        shapes = eval_pyramid_shapes(oh, ow, self.img_sizes,
+                                     self.img_max_size,
+                                     self.padding_constant)
 
         out = {
             "seg_label": segm_transform(segm)[None],

@@ -50,8 +50,11 @@ def prefetch_to_device(iterable: Iterable, *, size: int = 2,
         if transform is not None:
             batch = transform(batch)
         if sharding is not None:
+            from ..parallel.mesh import _put
+
+            # multi-process aware: the host batch is this process's shard
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+                lambda x: _put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     try:

@@ -104,6 +104,10 @@ class ConvBN(nn.Module):
         quant = self.quant
         if quant == "int8-3x3":
             quant = "int8" if tuple(self.kernel_size) != (1, 1) else "off"
+        elif quant == "w4a8":
+            # same runtime path as int8; prequantize(mode="w4a8") stores
+            # the kernels as int4 and _quantized_conv upcasts in-program
+            quant = "int8"
         if quant in ("calib", "int8"):
             x = self._quantized_conv(x, pad, quant)
         elif self._use_shift_dilated(pad):
@@ -167,8 +171,11 @@ class ConvBN(nn.Module):
                 self.make_rng("params"),
                 (*self.kernel_size, in_ch, self.features), jnp.float32)},
         ).value["kernel"]
+        # init 0.0 (not 1.0) so calibration records the TRUE activation max
+        # even when it is < 1; prequantize() rejects amax == 0 so an
+        # uncalibrated tree fails loudly instead of silently saturating
         amax = self.variable("quant", "amax",
-                             lambda: jnp.ones((), jnp.float32))
+                             lambda: jnp.zeros((), jnp.float32))
         if quant == "calib":
             amax.value = jnp.maximum(
                 amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
@@ -180,10 +187,12 @@ class ConvBN(nn.Module):
                 preferred_element_type=self.dtype)
             return y
         x_q, s_x = quantize_act(x, amax.value)
-        if kernel.dtype == jnp.int8:
+        if kernel.dtype in (jnp.int8, jnp.int4):
             # ops.quant.prequantize already converted this kernel offline;
-            # its per-channel scale lives next to amax
-            w_q = kernel
+            # its per-channel scale lives next to amax. int4 (w4a8 mode)
+            # upcasts in-register — HBM stores half the weight bytes, the
+            # MXU still runs s8 x s8
+            w_q = kernel.astype(jnp.int8)
             s_w = self.variable(
                 "quant", "w_scale",
                 lambda: jnp.ones((self.features,), jnp.float32)).value

@@ -21,8 +21,10 @@ Method notes:
   diagonal-shifted neighbors over a 9x9 window (both shift directions,
   eval_ood_traditional.py:511-530), computed at feature resolution then
   bilinearly upsampled.
-- ``crf``/``crf-gauss`` require pydensecrf (host-side); gated with a clear
-  error if absent.
+- ``crf``/``crf-gauss``: NATIVE on-device mean-field inference
+  (openset/crf.py) — the bilateral range kernel is a low-rank expansion of
+  the reference's pydensecrf kernel, validated against a dense brute-force
+  oracle (tests/test_crf.py). pydensecrf is NOT required.
 """
 
 from __future__ import annotations

@@ -41,6 +41,21 @@ def quantize_weight(w):
     return w_q, scale.astype(jnp.float32)
 
 
+def quantize_weight_int4(w):
+    """Per-output-channel symmetric int4 quantization of an HWIO kernel.
+
+    Returns ``(w_q int4, scale f32[out])`` with ``w ~= w_q * scale``.
+    The w4a8 mode: after int8 activations, the weights are the residual
+    HBM traffic of the flagship HBM-bound program — int4 halves those
+    bytes again. The conv itself still runs s8 x s8 on the MXU (the int4
+    tensor upcasts in-register); only the HBM representation shrinks.
+    """
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    w_q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int4)
+    return w_q, scale.astype(jnp.float32)
+
+
 def quantize_act(x, amax):
     """Per-tensor symmetric int8 with a static scale ``amax/127``.
 
@@ -68,7 +83,9 @@ def prequantize(variables, mode: str = "int8"):
     ``mode`` must match the eval model's quant mode: under "int8-3x3" the
     model routes 1x1 convs through the plain (un-quantized) conv path,
     which would consume a raw int8 kernel without dequantizing — so their
-    kernels must stay fp32.
+    kernels must stay fp32. ``mode="w4a8"`` stores int4 weight tensors
+    instead of int8 (eval model still runs with ``quant="int8"`` — the
+    layer upcasts int4 kernels in-program).
     """
     import jax
 
@@ -79,17 +96,22 @@ def prequantize(variables, mode: str = "int8"):
         raise ValueError("prequantize requires a calibrated 'quant' "
                          "collection (run calibrate first)")
     skip_1x1 = mode == "int8-3x3"
+    w_quantizer = quantize_weight_int4 if mode == "w4a8" else quantize_weight
 
     def walk(p, q):
         if not isinstance(q, dict):
             return p, q
         if "amax" in q and isinstance(p, dict) and "conv" in p:
+            if float(q["amax"]) <= 0.0:
+                raise ValueError(
+                    "uncalibrated quant tree: a layer's amax is 0 — run "
+                    "calibrate() on at least one image first")
             kernel = p["conv"]["kernel"]
-            if kernel.dtype == jnp.int8:  # already prequantized: no-op
+            if kernel.dtype in (jnp.int8, jnp.int4):  # already done: no-op
                 return p, q
             if skip_1x1 and kernel.shape[0] == kernel.shape[1] == 1:
                 return p, q
-            w_q, s_w = quantize_weight(kernel)
+            w_q, s_w = w_quantizer(kernel)
             p = {**p, "conv": {**p["conv"], "kernel": w_q}}
             q = {**q, "w_scale": s_w}
             return p, q

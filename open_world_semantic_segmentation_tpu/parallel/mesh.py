@@ -43,16 +43,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sh: NamedSharding):
+    """device_put onto a sharding; when the mesh spans multiple PROCESSES
+    (DCN tier), the host value is this process's local shard and the global
+    array is assembled with make_array_from_process_local_data (each leaf
+    of a replicated tree must be identical on every process — true for
+    seeded init and for per-host pipeline shards of the batch axis)."""
+    if jax.process_count() > 1 and not sh.is_fully_addressable:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """device_put a host batch with its leading axis split over the mesh."""
+    """device_put a host batch with its leading axis split over the mesh.
+
+    Multi-process: the per-host batch is this host's shard of the global
+    batch (global batch = num_hosts x local batch)."""
     sh = data_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """device_put a pytree fully replicated over the mesh (params, state)."""
     sh = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)
 
 
 def shard_index_space(num_samples: int, num_hosts: int, host_id: int,

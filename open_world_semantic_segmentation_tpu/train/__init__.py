@@ -14,6 +14,11 @@ from .optim import (
     backbone_classifier_optimizer,
 )
 from .state import TrainState, make_anomaly_train_step, make_deeplab_train_step
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    save_checkpoint_orbax,
+    load_checkpoint_orbax,
+)
 from . import convert
 

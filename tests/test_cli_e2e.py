@@ -147,6 +147,47 @@ def test_main_deeplab_train_and_validate(cs_root, tmp_path, capsys):
     assert "Mean IoU" in out
 
 
+def test_main_deeplab_test_only_saves_val_results(cs_root, tmp_path,
+                                                  capsys):
+    """Eval-only surface (main.py --test_only + --save_val_results +
+    test.py): train briefly, then evaluate the saved checkpoint standalone
+    through the SAME driver via DEEPLAB.test_only, dumping the reference's
+    five result PNGs (main.py:209-234) and the per-image open-set
+    AUROC/FPR95/AUPR prints (test.py:287-289)."""
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli import main_deeplab
+
+    cfg = _deeplab_cfg(cs_root, tmp_path)
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.unknown_scores = True  # open-world remap, as in test.py
+    state = main_deeplab.main(cfg, jnp.float32, max_steps=3)
+    assert os.path.exists(os.path.join(cfg.DIR, "latest.pkl"))
+    capsys.readouterr()
+
+    cfg2 = cfg.clone()
+    cfg2.DEEPLAB.test_only = True
+    cfg2.DEEPLAB.ckpt = os.path.join(cfg.DIR, "latest.pkl")
+    cfg2.DEEPLAB.save_val_results = True
+    cfg2.DEEPLAB.unknown_scores = True
+    score, ood = main_deeplab.main(cfg2, jnp.float32)
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out
+    assert 0.0 <= score["Mean IoU"] <= 1.0
+
+    results = os.path.join(cfg.DIR, "results")
+    files = sorted(os.listdir(results))
+    for suffix in ("image", "target", "pred", "scores", "overlay"):
+        assert f"0_{suffix}.png" in files
+    # shapes: RGB for image/target/pred/overlay, grayscale for scores,
+    # all at the dataset's full resolution (synthetic tree is 64x96)
+    img = np.asarray(Image.open(os.path.join(results, "0_image.png")))
+    tgt = np.asarray(Image.open(os.path.join(results, "0_target.png")))
+    sc = np.asarray(Image.open(os.path.join(results, "0_scores.png")))
+    assert img.shape == tgt.shape == (64, 96, 3)
+    assert sc.shape == (64, 96)
+
+
 def test_self_distillation_train_and_eval(cs_root, tmp_path, capsys):
     from open_world_semantic_segmentation_tpu.cli import self_distillation
 

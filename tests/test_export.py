@@ -98,6 +98,75 @@ def test_export_int8_artifact_smaller_and_runs(tmp_path):
     assert np.isfinite(np.asarray(conf, np.float32)).all()
 
 
+def test_export_pyramid_roundtrip(tiny_model, tmp_path):
+    """Full multi-scale pipeline as ONE artifact: per-scale inputs,
+    averaged scores, conf+argmax — matches the direct jit computation."""
+    from open_world_semantic_segmentation_tpu.core.export import (
+        export_pyramid_eval_fn)
+    from open_world_semantic_segmentation_tpu.openset.scoring import (
+        dissum_conf)
+
+    model, variables = tiny_model
+    shapes = [(24, 32), (32, 48), (40, 56)]
+    full = (48, 64)
+    blob = export_pyramid_eval_fn(model, variables, shapes, full,
+                                  method="dissum")
+    path = str(tmp_path / "pyr.owss")
+    save_exported(path, blob, {"pyramid": True})
+    fn, meta = load_exported(path)
+    assert meta["pyramid"] is True
+
+    rng = np.random.default_rng(0)
+    pyr = [jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+           for h, w in shapes]
+    pred, conf = fn(*pyr)
+    assert pred.shape == (1, *full) and pred.dtype == jnp.uint8
+    assert conf.shape == (1, *full) and conf.dtype == jnp.float16
+
+    scores = None
+    for img in pyr:
+        s = model.apply(variables, img, seg_size=full)["scores"]
+        scores = s if scores is None else scores + s
+    scores = scores.astype(jnp.float32) / len(pyr)
+    np.testing.assert_array_equal(
+        np.asarray(pred), np.argmax(np.asarray(scores), axis=-1))
+    # the exported program may reassociate the multi-scale accumulation
+    # (different fusion order) -> last-ulp f16 differences in conf
+    np.testing.assert_allclose(
+        np.asarray(conf, np.float32),
+        np.asarray(jax.vmap(dissum_conf)(scores), np.float32),
+        atol=2e-3)
+
+
+def test_export_pyramid_int8_cli(tmp_path):
+    """--pyramid --quant int8 through the CLI: 5-scale int8 artifact is
+    produced, meta records per-scale input specs, payload beats fp32."""
+    from open_world_semantic_segmentation_tpu.cli import export_model
+    from open_world_semantic_segmentation_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    cfg.DATASET.imgSizes = (24, 32)
+    cfg.DATASET.imgMaxSize = 80
+    out_fp = str(tmp_path / "pyr_fp.owss")
+    out_q = str(tmp_path / "pyr_q.owss")
+    export_model.main(cfg, jnp.float32, height=48, width=64, out=out_fp,
+                      pyramid=True)
+    export_model.main(cfg, jnp.float32, height=48, width=64, out=out_q,
+                      pyramid=True, quant="int8")
+    assert os.path.getsize(out_q) < 0.5 * os.path.getsize(out_fp)
+
+    fn, meta = load_exported(out_q)
+    assert meta["pyramid"] is True and meta["quant"] == "int8"
+    assert len(meta["input"]) == 2  # one spec per imgSizes scale
+    pyr = [jnp.zeros(tuple(s), jnp.float32) for s in meta["input"]]
+    pred, conf = fn(*pyr)
+    assert pred.shape == (1, 48, 64)
+
+
 def test_export_cli(tmp_path):
     from open_world_semantic_segmentation_tpu.cli import export_model
     from open_world_semantic_segmentation_tpu.core.config import Config

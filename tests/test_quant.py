@@ -126,6 +126,30 @@ def test_prequantized_matches_inline_int8(tiny_setup):
                                   np.asarray(out_pre["scores"]))
 
 
+def test_w4a8_prequantize_forward_close_to_int8(tiny_setup):
+    """mode='w4a8': kernels stored int4 (half the HBM weight bytes of
+    int8), upcast in-program; outputs stay close to the int8 path and the
+    fp argmax (int4 per-channel is coarser, so a looser bound)."""
+    kw, x, v, v_cal, s_off = tiny_setup
+    m_q = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8", **kw)
+    v4 = prequantize(v_cal, mode="w4a8")
+    n_int4 = sum(1 for leaf in jax.tree_util.tree_leaves(v4["params"])
+                 if leaf.dtype == jnp.int4)
+    assert n_int4 > 0
+    out4 = m_q.apply(v4, x, seg_size=(48, 48))
+    s4 = np.asarray(out4["scores"][0], np.float32)
+    agree = (s_off.argmax(-1) == s4.argmax(-1)).mean()
+    assert agree > 0.85, f"w4a8 argmax agreement vs fp: {agree}"
+
+    # the w4a8 model builds with quant="w4a8" too (routes to the same path)
+    m_w4 = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="w4a8", **kw)
+    out_w4 = m_w4.apply(v4, x, seg_size=(48, 48))
+    np.testing.assert_array_equal(np.asarray(out_w4["scores"]),
+                                  np.asarray(out4["scores"]))
+
+
 def test_prequantized_int8_3x3_keeps_1x1_fp(tiny_setup):
     """mode='int8-3x3' prequantization must leave 1x1 kernels fp32: the
     eval model routes them through the plain conv path, which would

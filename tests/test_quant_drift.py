@@ -1,0 +1,83 @@
+"""int8 PTQ metric drift on TRAINED weights (VERDICT r2 #3).
+
+Random-weight argmax agreement (tests/test_quant.py) says little about
+metric drift once the network has structure. Here the flagship decoder is
+actually trained on the synthetic StreetHazards tree until the loss moves,
+then the SAME checkpoint is evaluated through the real eval driver in
+fp32, int8, and int8-3x3, and the AUROC / AUPR / mIoU deltas are asserted
+below a bound. The chip-measured flagship (resnet50) counterpart numbers
+live in docs/DESIGN.md.
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_streethazards  # noqa: E402
+
+from open_world_semantic_segmentation_tpu.core.config import Config
+
+pytestmark = pytest.mark.e2e
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    from open_world_semantic_segmentation_tpu.cli import train_embedding
+
+    root = make_streethazards(
+        str(tmp_path_factory.mktemp("shq")), n_train=6, n_val=3, h=48, w=64)
+    cfg = Config()
+    cfg.DIR = str(tmp_path_factory.mktemp("ckq"))
+    cfg.DATASET.root_dataset = root
+    cfg.DATASET.list_train = os.path.join(root, "train.odgt")
+    cfg.DATASET.list_val = os.path.join(root, "val.odgt")
+    cfg.DATASET.num_class = 13
+    cfg.DATASET.imgSizes = (24, 32)
+    cfg.DATASET.imgMaxSize = 80
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.TRAIN.batch_size_per_gpu = 2
+    cfg.TRAIN.num_epoch = 1
+    cfg.TRAIN.epoch_iters = 30
+    cfg.TRAIN.disp_iter = 10
+    cfg.TRAIN.lr_encoder = 0.02
+    cfg.TRAIN.lr_decoder = 0.02
+    train_embedding.main(cfg, jnp.float32, max_steps=30)
+    return cfg, os.path.join(cfg.DIR, "model_epoch_1.pkl")
+
+
+def _eval(cfg, ckpt, quant):
+    from open_world_semantic_segmentation_tpu.cli import eval_ood
+
+    c = cfg.clone()
+    c.MODEL.weights_encoder = ckpt
+    c.OOD.ood = "dissum"
+    kw = {"quant": quant, "calib_images": 2} if quant != "off" else {}
+    return eval_ood.main(c, jnp.float32, max_images=3, **kw)
+
+
+def test_int8_metric_drift_on_trained_weights(trained_ckpt):
+    cfg, ckpt = trained_ckpt
+    r_fp = _eval(cfg, ckpt, "off")
+    r_q = _eval(cfg, ckpt, "int8")
+    r_q3 = _eval(cfg, ckpt, "int8-3x3")
+
+    assert r_fp["auroc"] is not None
+    for name, r in (("int8", r_q), ("int8-3x3", r_q3)):
+        d_auroc = abs(r["auroc"] - r_fp["auroc"])
+        d_aupr = abs(r["aupr"] - r_fp["aupr"])
+        d_miou = abs(r["mean_iou"] - r_fp["mean_iou"])
+        print(f"{name}: dAUROC={d_auroc:.4f} dAUPR={d_aupr:.4f} "
+              f"dmIoU={d_miou:.4f}")
+        # drift bound: metric-level, not argmax agreement. 0.05 absolute
+        # is loose enough for a 30-step synthetic net (real trained nets
+        # are far tighter — per-channel weight scales + calibrated
+        # activation amax), tight enough to catch a broken quant path
+        # (which produces ~random scores, drift >> 0.2)
+        assert d_auroc < 0.05, f"{name} AUROC drift {d_auroc}"
+        assert d_aupr < 0.08, f"{name} AUPR drift {d_aupr}"
+        assert d_miou < 0.05, f"{name} mIoU drift {d_miou}"

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""BASELINE config #4 throughput: FT/PLM self-distillation train step.
+
+Measures the incremental 16+1 training program (the reference's
+test_self_distillation.py:549-617 loop): DeepLabV3+ embedding
+self-distillation ResNet-101, 768x768 crop, batch 5, frozen backbone +
+base head, pseudo-labeling from the base head, CE loss on the newest
+novel head — one donated jitted step, bf16 compute.
+
+Usage:
+    python tools/bench_selfdistill.py [--iters 10] [--batch 5] [--crop 768]
+Prints one JSON line: {"metric": "selfdistill_ft_train", "value":
+imgs/sec/chip, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(crop=768, batch=5, n_iters=10, warmup=2):
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_world_semantic_segmentation_tpu.cli.self_distillation import (
+        make_self_distillation_step)
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_self_distillation_resnet101)
+    from open_world_semantic_segmentation_tpu.train import (
+        TrainState, backbone_classifier_optimizer, poly_schedule)
+
+    num_classes, novel_cls = 16, 1
+    model = deeplabv3plus_embedding_self_distillation_resnet101(
+        num_classes=num_classes, cls_novel=novel_cls, train=True,
+        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, crop, crop, 3), jnp.float32))
+    # only classifier_1 trains (test_self_distillation.py:476-478)
+    frozen = ("backbone", "classifier")
+    tx = backbone_classifier_optimizer(
+        variables["params"],
+        lr=poly_schedule(0.01, 10000, 0.9, min_lr=1e-6),
+        momentum=0.9, weight_decay=1e-4,
+        backbone_scale=0.0, frozen_keys=frozen)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    step_fn = make_self_distillation_step(
+        model, novel_cls=novel_cls, base_classes=num_classes,
+        rng=jax.random.PRNGKey(0), fix_bn=True)
+
+    # labels: mix of base ids, few-shot zeros, and 255 (pseudo-labeled)
+    labels = np.asarray(rng.integers(0, 16, (batch, crop, crop)), np.int32)
+    labels[rng.random((batch, crop, crop)) < 0.3] = 255
+    labels[rng.random((batch, crop, crop)) < 0.05] = 0
+    batch_np = {
+        "image": jnp.asarray(
+            rng.standard_normal((batch, crop, crop, 3)), jnp.float32),
+        "label": jnp.asarray(labels),
+    }
+
+    for _ in range(warmup):
+        state, loss = step_fn(state, batch_np)
+    float(loss)  # sync
+
+    iter_times = []
+    for _ in range(n_iters):
+        tic = time.perf_counter()
+        state, loss = step_fn(state, batch_np)
+        float(loss)  # per-step sync (one 4-byte readback)
+        iter_times.append(time.perf_counter() - tic)
+    best = min(iter_times)
+    spread = 100.0 * (max(iter_times) - best) / best
+    print(json.dumps({
+        "metric": "selfdistill_ft_train",
+        "value": round(batch / best, 4),
+        "unit": "imgs/sec/chip",
+        "crop": crop, "batch": batch,
+        "step_ms": round(1000 * best, 2),
+        "spread_pct": round(spread, 2),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    main(crop=args.crop, batch=args.batch, n_iters=args.iters)
