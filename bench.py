@@ -81,7 +81,9 @@ def main(arch_encoder="resnet50dilated", fc_dim=2048, pyramid=None,
             (1, *pyramid_shapes[2], 3)).astype(np.float32)]
         variables = calibrate(m_cal, dict(variables), cal_imgs,
                               seg_size=full_size)
-        if prequant:
+        if prequant and quant != "w4a8":
+            # w4a8 must quantize in-program: this PJRT stack cannot
+            # transfer int4 host<->device (ops/quant.py notes)
             variables = prequantize(variables, mode=quant)
     else:
         variables = model.init(jax.random.PRNGKey(0), init_img)

@@ -64,7 +64,8 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
         for (_, seg), imgs in groups.items():
             variables = calibrate(m_cal, dict(variables), imgs,
                                   seg_size=seg)
-        variables = prequantize(variables, mode=quant)
+        if quant != "w4a8":  # w4a8 quantizes kernels in-program
+            variables = prequantize(variables, mode=quant)
         print(f"int8 calibration done on {calib_images} images")
 
     pipeline = ValPipeline(

@@ -66,7 +66,13 @@ class Segmenter:
 
     def __init__(self, cfg, precision_dtype, height: int, width: int,
                  max_batch: int = 1, batch_wait_ms: float = 5.0,
-                 quant: str = "off", calib_glob: str = None):
+                 quant: str = "off", calib_glob: str = None,
+                 device_input: bool = False):
+        """``device_input``: ship the resized image as uint8 and run the
+        ImageNet normalization ON DEVICE (4x fewer bytes over the
+        host->device link — the bottleneck behind a tunneled chip — and
+        no host float conversion). Label/conf outputs are identical up to
+        the uint8 resize rounding."""
         import jax
         import jax.numpy as jnp
 
@@ -74,6 +80,7 @@ class Segmenter:
         from ..openset.scoring import dissum_conf
 
         self.size = (height, width)
+        self.device_input = device_input
         self.resize_normalize = resize_normalize
         self.model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                          dtype=precision_dtype, quant=quant)
@@ -94,12 +101,19 @@ class Segmenter:
 
         @jax.jit
         def fwd(variables, imgs):
+            if device_input:
+                from ..data.odgt import IMAGENET_MEAN, IMAGENET_STD
+
+                imgs = imgs.astype(jnp.float32) / 255.0
+                imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) \
+                    / jnp.asarray(IMAGENET_STD)
             out = self.model.apply(variables, imgs, seg_size=self.size)
             scores = out["scores"]
             return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
                     jax.vmap(dissum_conf)(scores).astype(jnp.float16))
 
         self._fwd = fwd
+        self._in_dtype = np.uint8 if device_input else np.float32
         # startup compiles ONLY batch size 1 (the server answers its first
         # request immediately); the larger padded sizes warm concurrently
         # in a background thread — a request landing on a not-yet-warm
@@ -113,7 +127,8 @@ class Segmenter:
                 min(self._batch_sizes[-1] * 2, self.max_batch))
         self._jnp = jnp
         self._fwd(self.variables,
-                  jnp.zeros((1, height, width, 3), jnp.float32))
+                  jnp.zeros((1, height, width, 3),
+                            jnp.uint8 if device_input else jnp.float32))
         self.warmed = [1]
         if len(self._batch_sizes) > 1:
             threading.Thread(target=self._warm_batches, daemon=True).start()
@@ -132,7 +147,7 @@ class Segmenter:
         for b in self._batch_sizes[1:]:
             self._fwd(self.variables,
                       self._jnp.zeros((b, *self.size, 3),
-                                      self._jnp.float32))
+                                      self._in_dtype))
             self.warmed.append(b)
 
     def _run_batch(self, arrs):
@@ -141,7 +156,7 @@ class Segmenter:
 
         n = len(arrs)
         size = next(b for b in self._batch_sizes if b >= n)
-        batch = np.zeros((size, *self.size, 3), np.float32)
+        batch = np.zeros((size, *self.size, 3), self._in_dtype)
         for i, a in enumerate(arrs):
             batch[i] = a
         with self._lock:
@@ -182,8 +197,14 @@ class Segmenter:
         tic = time.perf_counter()
         try:
             img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-            arr = self.resize_normalize(np.asarray(img),
-                                        (self.size[0], self.size[1]))
+            if self.device_input:
+                # ship uint8; normalization happens inside the program
+                arr = np.asarray(
+                    img.resize((self.size[1], self.size[0]),
+                               Image.BILINEAR), np.uint8)
+            else:
+                arr = self.resize_normalize(np.asarray(img),
+                                            (self.size[0], self.size[1]))
             # decode/resize above runs concurrently across request threads;
             # only the device dispatch is serialized
             if self._queue is not None:
@@ -272,12 +293,14 @@ def make_handler(segmenter: Segmenter):
 
 def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
           width=1280, max_batch=1, batch_wait_ms=5.0, quant="off",
-          calib_glob=None):
+          calib_glob=None, device_input=False):
     segmenter = Segmenter(cfg, precision_dtype, height, width,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
-                          quant=quant, calib_glob=calib_glob)
+                          quant=quant, calib_glob=calib_glob,
+                          device_input=device_input)
     server = ThreadingHTTPServer((host, port), make_handler(segmenter))
-    print(f"serving {segmenter.model_name} on http://{host}:{port} "
+    print(f"serving {segmenter.model_name} on "
+          f"http://{host}:{server.server_address[1]} "
           f"(input {height}x{width})", flush=True)
     return server
 
@@ -299,6 +322,9 @@ def main(argv=None):
     parser.add_argument("--calib-glob", default=None,
                         help="glob of representative images for int8 "
                              "activation calibration")
+    parser.add_argument("--device-input", action="store_true",
+                        help="ship uint8 images and normalize on device "
+                             "(4x fewer bytes over the host->device link)")
     args = parser.parse_args(argv)
     from ._common import parse_config
 
@@ -306,7 +332,8 @@ def main(argv=None):
     server = serve(cfg, compute_dtype(args), args.host, args.port,
                    args.height, args.width, max_batch=args.max_batch,
                    batch_wait_ms=args.batch_wait_ms, quant=args.quant,
-                   calib_glob=args.calib_glob)
+                   calib_glob=args.calib_glob,
+                   device_input=args.device_input)
     server.serve_forever()
 
 

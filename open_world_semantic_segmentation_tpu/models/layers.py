@@ -104,11 +104,7 @@ class ConvBN(nn.Module):
         quant = self.quant
         if quant == "int8-3x3":
             quant = "int8" if tuple(self.kernel_size) != (1, 1) else "off"
-        elif quant == "w4a8":
-            # same runtime path as int8; prequantize(mode="w4a8") stores
-            # the kernels as int4 and _quantized_conv upcasts in-program
-            quant = "int8"
-        if quant in ("calib", "int8"):
+        if quant in ("calib", "int8", "w4a8"):
             x = self._quantized_conv(x, pad, quant)
         elif self._use_shift_dilated(pad):
             # OWSS_DILATED_IMPL=shift: large-dilation 3x3 as nine shifted
@@ -189,13 +185,24 @@ class ConvBN(nn.Module):
         x_q, s_x = quantize_act(x, amax.value)
         if kernel.dtype in (jnp.int8, jnp.int4):
             # ops.quant.prequantize already converted this kernel offline;
-            # its per-channel scale lives next to amax. int4 (w4a8 mode)
-            # upcasts in-register — HBM stores half the weight bytes, the
-            # MXU still runs s8 x s8
+            # its per-channel scale lives next to amax. int4 upcasts
+            # in-register — HBM stores half the weight bytes, the MXU
+            # still runs s8 x s8
             w_q = kernel.astype(jnp.int8)
             s_w = self.variable(
                 "quant", "w_scale",
                 lambda: jnp.ones((self.features,), jnp.float32)).value
+        elif quant == "w4a8":
+            # INLINE int4: quantize the f32 kernel to int4 in-program.
+            # This PJRT stack cannot transfer int4 host<->device (probed:
+            # RecursionError on device_put args, UNIMPLEMENTED on
+            # readback), so int4-at-rest must be produced on device: XLA
+            # hoists this loop-invariant quantization out of image scans
+            # and keeps the int4 tensors resident in HBM
+            from ..ops.quant import quantize_weight_int4
+
+            w4, s_w = quantize_weight_int4(kernel)
+            w_q = w4.astype(jnp.int8)
         else:
             w_q, s_w = quantize_weight(kernel)
         y = jax.lax.conv_general_dilated(

