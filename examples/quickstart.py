@@ -109,6 +109,21 @@ def main():
     print(f"int8 artifact: {os.path.getsize(path) / 1e6:.1f} MB,",
           "pred shape", pred.shape)
 
+    # 6. the FULL multi-scale eval pipeline as one artifact (per-scale
+    # inputs -> averaged scores -> conf + argmax)
+    from open_world_semantic_segmentation_tpu.core.export import (
+        export_pyramid_eval_fn)
+
+    shapes = [(24, 32), (32, 48)]
+    blob = export_pyramid_eval_fn(eval_model, eval_vars, shapes, (48, 64),
+                                  method="dissum")
+    pyr_path = os.path.join(root, "model_pyramid.owss")
+    save_exported(pyr_path, blob, {"pyramid": True})
+    fn_p, _ = load_exported(pyr_path)
+    pred_p, conf_p = fn_p(*[jnp.zeros((1, h, w, 3), jnp.float32)
+                            for h, w in shapes])
+    print("pyramid artifact pred shape:", pred_p.shape)
+
 
 if __name__ == "__main__":
     main()

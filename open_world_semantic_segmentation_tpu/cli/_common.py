@@ -55,7 +55,11 @@ def init_or_load_variables(cfg: Config, model, example_img, *,
                            rng_seed: int = 0):
     """Init params; if MODEL.weights_encoder/decoder point at .pth files,
     convert and load them (the published reference checkpoints)."""
-    variables = model.init(jax.random.PRNGKey(rng_seed), example_img)
+    # jitted init: one dispatch instead of op-by-op over the tunnel, and
+    # required for quant="w4a8" (eager init would materialize int4
+    # intermediates as op arguments, which this PJRT stack cannot accept)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(rng_seed),
+                                    example_img)
     enc_w, dec_w = cfg.MODEL.weights_encoder, cfg.MODEL.weights_decoder
     if enc_w or dec_w:
         from ..train import convert as tc

@@ -151,9 +151,25 @@ def main(cfg, precision_dtype=jnp.bfloat16, max_images=None):
         raise FileNotFoundError(
             f"checkpoint {ckpt!r} not found — set DEEPLAB.ckpt or train "
             "first (main.py asserts --ckpt exists for --test_only)")
-    from ..train import load_checkpoint
+    if ckpt.endswith(".pth"):
+        # the reference's published torch checkpoints load directly
+        # (test.py --ckpt / main.py --ckpt surface)
+        from ..train import convert as tc
 
-    tree, meta = load_checkpoint(ckpt)
+        heads = ("classifier",) if "self_distillation" not in d.model \
+            else tuple(["classifier"] +
+                       [f"classifier_{i}"
+                        for i in range(1, cfg.FEWSHOT.novel_cls + 1)])
+        conv = (tc.convert_mobilenet_deeplab_checkpoint
+                if "mobilenet" in d.model
+                else lambda c: tc.convert_deeplab_checkpoint(
+                    c, head_names=heads))(tc.load_torch_checkpoint(ckpt))
+        tree, meta = {"params": conv["params"],
+                      "batch_stats": conv["batch_stats"]}, {}
+    else:
+        from ..train import load_checkpoint
+
+        tree, meta = load_checkpoint(ckpt)
     # accept both a raw variables dict and a TrainState checkpoint
     # (main_deeplab saves TrainState: params + batch_stats + opt state)
     if "params" in tree:

@@ -482,4 +482,8 @@ def load_torch_checkpoint(path: str):
     obj = torch.load(path, map_location="cpu")
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    if isinstance(obj, dict) and "model_state" in obj:
+        # DeepLab checkpoint dict {cur_itrs, model_state, optimizer_state,
+        # ...} (main.py:315-325) — the weights live under model_state
+        obj = obj["model_state"]
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}

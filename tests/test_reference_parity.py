@@ -205,6 +205,36 @@ def test_deeplabv3plus_resnet50_os8_parity(deeplab_network):
     np.testing.assert_array_equal(got.argmax(-1), out_t.argmax(-1))
 
 
+def test_test_deeplab_loads_reference_pth(deeplab_network, tmp_path):
+    """The eval-only driver ingests a reference-format .pth directly
+    (test.py --ckpt surface): torch deeplabv3plus_mobilenet state_dict ->
+    cli.test_deeplab -> StreamSegMetrics results."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_synthetic_data import make_cityscapes
+
+    from open_world_semantic_segmentation_tpu.cli import test_deeplab
+    from open_world_semantic_segmentation_tpu.core.config import Config
+
+    torch.manual_seed(4)
+    model_t = deeplab_network.deeplabv3plus_mobilenet(
+        num_classes=16, output_stride=16, pretrained_backbone=False)
+    pth = str(tmp_path / "best_deeplabv3plus_mobilenet_cityscapes.pth")
+    torch.save({"model_state": model_t.state_dict()}, pth)
+
+    cs_root = make_cityscapes(str(tmp_path / "cs"), n=2, h=64, w=96)
+    cfg = Config()
+    cfg.DIR = str(tmp_path / "out")
+    cfg.DATASET.root_dataset = cs_root
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.num_classes = 16
+    cfg.DEEPLAB.crop_size = 32
+    cfg.DEEPLAB.ckpt = pth
+    cfg.DEEPLAB.unknown_scores = True
+    score, _ = test_deeplab.main(cfg, jnp.float32, max_images=1)
+    assert 0.0 <= score["Mean IoU"] <= 1.0
+
+
 def test_convert_checkpoint_cli_roundtrip(anomaly_models, tmp_path):
     """The CLI converter ingests real torch .pth files and produces a
     checkpoint the eval driver can load."""

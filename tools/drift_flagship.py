@@ -46,7 +46,9 @@ def main(steps=60, n_eval=4, modes=("int8", "int8-3x3", "w4a8"),
     cfg.DATASET.list_train = os.path.join(root, "train.odgt")
     cfg.DATASET.list_val = os.path.join(root, "val.odgt")
     cfg.DATASET.num_class = 13
-    cfg.DATASET.imgSizes = (150, 200, 250)
+    # single scale: drift is a numerics question, not a pyramid one, and
+    # each extra scale is another cold compile over the tunnel
+    cfg.DATASET.imgSizes = (200,)
     cfg.DATASET.imgMaxSize = 500
     cfg.MODEL.arch_encoder = "resnet50dilated"
     cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
