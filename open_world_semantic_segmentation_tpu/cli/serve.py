@@ -67,53 +67,80 @@ class Segmenter:
     def __init__(self, cfg, precision_dtype, height: int, width: int,
                  max_batch: int = 1, batch_wait_ms: float = 5.0,
                  quant: str = "off", calib_glob: str = None,
-                 device_input: bool = False):
+                 device_input: bool = False, artifact: str = None):
         """``device_input``: ship the resized image as uint8 and run the
         ImageNet normalization ON DEVICE (4x fewer bytes over the
         host->device link — the bottleneck behind a tunneled chip — and
         no host float conversion). Label/conf outputs are identical up to
-        the uint8 resize rounding."""
+        the uint8 resize rounding.
+
+        ``artifact``: serve a saved AOT export (cli/export_model) instead
+        of building the model — no flax/framework tracing at startup, the
+        weights are baked into the StableHLO; input size/batch come from
+        the artifact metadata (single-scale, method != "none")."""
         import jax
         import jax.numpy as jnp
 
         from ..data.native import resize_normalize
         from ..openset.scoring import dissum_conf
 
-        self.size = (height, width)
-        self.device_input = device_input
+        self.device_input = device_input and not artifact
         self.resize_normalize = resize_normalize
-        self.model = build_anomaly_model(cfg, train=False, use_softmax=True,
-                                         dtype=precision_dtype, quant=quant)
-        self.variables = init_or_load_variables(
-            cfg, self.model, jnp.zeros((1, 64, 64, 3), jnp.float32))
-        if quant != "off":
-            from ._common import calibrate_for_quant
-
-            self.variables = calibrate_for_quant(
-                cfg, self.variables, self.size, dtype=precision_dtype,
-                use_softmax=True, calib_glob=calib_glob, quant=quant)
-        self.model_name = (f"{cfg.MODEL.arch_encoder}+"
-                           f"{cfg.MODEL.arch_decoder}")
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0, "batches": 0,
                       "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
 
-        @jax.jit
-        def fwd(variables, imgs):
-            if device_input:
-                from ..data.odgt import IMAGENET_MEAN, IMAGENET_STD
+        if artifact:
+            from ..core.export import load_exported
 
-                imgs = imgs.astype(jnp.float32) / 255.0
-                imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) \
-                    / jnp.asarray(IMAGENET_STD)
-            out = self.model.apply(variables, imgs, seg_size=self.size)
-            scores = out["scores"]
-            return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
-                    jax.vmap(dissum_conf)(scores).astype(jnp.float16))
+            afn, meta = load_exported(artifact)
+            if meta.get("pyramid"):
+                raise ValueError(
+                    "serve needs a single-scale artifact (export without "
+                    "--pyramid)")
+            if meta.get("method") == "none":
+                raise ValueError("serve needs an artifact with a conf "
+                                 "method (exported with --method none)")
+            ab, ah, aw, _ = meta.get("input", [1, height, width, 3])
+            self.size = (ah, aw)
+            self.model_name = meta.get("model", "artifact")
+            self.variables = None
+            # artifacts are exported at a FIXED batch; pad every dispatch
+            # to it
+            max_batch = ab
+            fwd = lambda _vars, imgs: afn(imgs)  # noqa: E731
+        else:
+            self.size = (height, width)
+            self.model = build_anomaly_model(
+                cfg, train=False, use_softmax=True,
+                dtype=precision_dtype, quant=quant)
+            self.variables = init_or_load_variables(
+                cfg, self.model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+            if quant != "off":
+                from ._common import calibrate_for_quant
+
+                self.variables = calibrate_for_quant(
+                    cfg, self.variables, self.size, dtype=precision_dtype,
+                    use_softmax=True, calib_glob=calib_glob, quant=quant)
+            self.model_name = (f"{cfg.MODEL.arch_encoder}+"
+                               f"{cfg.MODEL.arch_decoder}")
+
+            @jax.jit
+            def fwd(variables, imgs):
+                if device_input:
+                    from ..data.odgt import IMAGENET_MEAN, IMAGENET_STD
+
+                    imgs = imgs.astype(jnp.float32) / 255.0
+                    imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) \
+                        / jnp.asarray(IMAGENET_STD)
+                out = self.model.apply(variables, imgs, seg_size=self.size)
+                scores = out["scores"]
+                return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
+                        jax.vmap(dissum_conf)(scores).astype(jnp.float16))
 
         self._fwd = fwd
-        self._in_dtype = np.uint8 if device_input else np.float32
+        self._in_dtype = np.uint8 if self.device_input else np.float32
         # startup compiles ONLY batch size 1 (the server answers its first
         # request immediately); the larger padded sizes warm concurrently
         # in a background thread — a request landing on a not-yet-warm
@@ -121,15 +148,16 @@ class Segmenter:
         # paying the full serial ladder
         self.max_batch = max(1, int(max_batch))
         self.batch_wait = batch_wait_ms / 1e3
-        self._batch_sizes = [1]
+        self._batch_sizes = [self.max_batch] if artifact else [1]
         while self._batch_sizes[-1] < self.max_batch:
             self._batch_sizes.append(
                 min(self._batch_sizes[-1] * 2, self.max_batch))
         self._jnp = jnp
         self._fwd(self.variables,
-                  jnp.zeros((1, height, width, 3),
-                            jnp.uint8 if device_input else jnp.float32))
-        self.warmed = [1]
+                  jnp.zeros((self._batch_sizes[0], *self.size, 3),
+                            jnp.uint8 if self.device_input
+                            else jnp.float32))
+        self.warmed = [self._batch_sizes[0]]
         if len(self._batch_sizes) > 1:
             threading.Thread(target=self._warm_batches, daemon=True).start()
 
@@ -293,11 +321,11 @@ def make_handler(segmenter: Segmenter):
 
 def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
           width=1280, max_batch=1, batch_wait_ms=5.0, quant="off",
-          calib_glob=None, device_input=False):
+          calib_glob=None, device_input=False, artifact=None):
     segmenter = Segmenter(cfg, precision_dtype, height, width,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
                           quant=quant, calib_glob=calib_glob,
-                          device_input=device_input)
+                          device_input=device_input, artifact=artifact)
     server = ThreadingHTTPServer((host, port), make_handler(segmenter))
     print(f"serving {segmenter.model_name} on "
           f"http://{host}:{server.server_address[1]} "
@@ -325,6 +353,9 @@ def main(argv=None):
     parser.add_argument("--device-input", action="store_true",
                         help="ship uint8 images and normalize on device "
                              "(4x fewer bytes over the host->device link)")
+    parser.add_argument("--artifact", default=None,
+                        help="serve a saved AOT export (cli/export_model) "
+                             "— no model build/tracing at startup")
     args = parser.parse_args(argv)
     from ._common import parse_config
 
@@ -333,7 +364,7 @@ def main(argv=None):
                    args.height, args.width, max_batch=args.max_batch,
                    batch_wait_ms=args.batch_wait_ms, quant=args.quant,
                    calib_glob=args.calib_glob,
-                   device_input=args.device_input)
+                   device_input=args.device_input, artifact=args.artifact)
     server.serve_forever()
 
 

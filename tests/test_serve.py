@@ -66,6 +66,42 @@ def test_segment_scores_npy(server):
     assert conf.dtype == np.float16
 
 
+def test_artifact_server(tmp_path):
+    """--artifact: serve a saved AOT export — no model build at startup,
+    size/batch from the artifact metadata, same HTTP surface."""
+    from open_world_semantic_segmentation_tpu.cli import export_model
+
+    cfg = Config()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_embedding"
+    cfg.MODEL.fc_dim = 512
+    cfg.DATASET.num_class = 13
+    path = str(tmp_path / "m.owss")
+    export_model.main(cfg, jnp.float32, height=32, width=48, out=path)
+
+    srv = serve_mod.serve(cfg, jnp.float32, host="127.0.0.1", port=0,
+                          artifact=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/healthz") as r:
+            body = json.loads(r.read())
+        assert body["input"] == [32, 48]  # from artifact meta, not args
+        img = Image.fromarray(
+            np.random.default_rng(2).integers(0, 255, (32, 48, 3),
+                                              dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = urllib.request.Request(base + "/segment",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            pred = np.array(Image.open(io.BytesIO(r.read())))
+        assert pred.shape == (32, 48) and pred.max() < 13
+    finally:
+        srv.shutdown()
+
+
 def test_device_input_server():
     """--device-input: uint8 ships to the device, normalization runs
     in-program; label output agrees with the host-normalized path up to
