@@ -53,6 +53,66 @@ def make_estimator(model, variables, *, method: str = "dissum",
     return estimator
 
 
+def run_native(estimator, root, odgt_list, *, anomaly_id: int = 1,
+               min_label: int = 0, max_images=None):
+    """bdlb-free LostAndFound evaluation (Fishyscapes protocol).
+
+    Feeds odgt-listed images (``cli/make_odgt.py laf``) through
+    ``estimator`` and computes AP + AUROC over the POOLED pixels of the
+    whole set — the Fishyscapes definition (bdlb pools pixels; the
+    reference's per-image means in eval_ood_traditional are a different
+    statistic). Labels follow the odgt convention (segm_transform's -1
+    shift): pixels < ``min_label`` are void/ignored, ``anomaly_id`` marks
+    the anomaly (LAF: raw labelId 2 = lost cargo -> 1 after the shift).
+
+    Returns ``{"AP": float, "AUROC": float, "FPR95": float,
+    "n_images": int}``. Pixel pools are float32/bool — budget ~5 bytes
+    per pixel (a 2MP image is ~10 MB); use ``max_images`` on small hosts.
+    """
+    import json
+    import os
+
+    from PIL import Image as PILImage
+
+    from ..metrics.anom import get_measures
+
+    if isinstance(odgt_list, str):
+        with open(odgt_list) as f:
+            first = f.read(1)
+            f.seek(0)
+            records = (json.load(f) if first == "[" else
+                       [json.loads(line) for line in f if line.strip()])
+    else:
+        records = list(odgt_list)
+    if max_images is not None:
+        records = records[:max_images]
+
+    score_pool, label_pool = [], []
+    for rec in records:
+        img = np.asarray(PILImage.open(
+            os.path.join(root, rec["fpath_img"])).convert("RGB"))
+        segm = np.asarray(PILImage.open(
+            os.path.join(root, rec["fpath_segm"])), dtype=np.int32) - 1
+        score = np.asarray(estimator(img))
+        if score.ndim == 3:
+            score = score[0]
+        if score.shape != segm.shape:
+            # estimator ran at model resolution; bring the score map to
+            # label resolution (bilinear, like the reference's upsample)
+            score = np.asarray(PILImage.fromarray(
+                score.astype(np.float32), mode="F").resize(
+                (segm.shape[1], segm.shape[0]), PILImage.BILINEAR))
+        valid = segm >= min_label
+        score_pool.append(score[valid].astype(np.float32))
+        label_pool.append(segm[valid] == anomaly_id)
+
+    scores = np.concatenate(score_pool)
+    labels = np.concatenate(label_pool)
+    auroc, aupr, fpr = get_measures(scores[labels], scores[~labels])
+    return {"AP": float(aupr), "AUROC": float(auroc), "FPR95": float(fpr),
+            "n_images": len(records)}
+
+
 def run_bdlb(estimator, download_dir=None):
     try:
         import bdlb

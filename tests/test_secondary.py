@@ -166,6 +166,98 @@ def test_fishyscapes_estimator(tmp_path):
     assert np.isfinite(score).all()
 
 
+def test_fishyscapes_run_native_perfect_separation(tmp_path):
+    """run_native computes the POOLED-pixel Fishyscapes metrics: with an
+    estimator whose scores perfectly rank anomaly pixels above the rest,
+    AP = AUROC = 1 and FPR95 = 0; void pixels (raw label 0 -> -1) are
+    excluded from the pool."""
+    import json
+
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.openset.fishyscapes import (
+        run_native)
+
+    root = str(tmp_path / "laf")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    records = []
+    masks = {}
+    for i in range(2):
+        # raw labelIds: 0 void, 1 in-distribution, 2 anomaly
+        lab = np.ones((16, 24), np.uint8)
+        lab[:, :4] = 0
+        lab[5 + i:9 + i, 10:14] = 2
+        Image.fromarray(rng.integers(0, 255, (16, 24, 3),
+                                     dtype=np.uint8)).save(
+            os.path.join(root, f"img{i}.png"))
+        Image.fromarray(lab).save(os.path.join(root, f"lab{i}.png"))
+        records.append({"fpath_img": f"img{i}.png",
+                        "fpath_segm": f"lab{i}.png",
+                        "height": 16, "width": 24})
+        masks[f"img{i}.png"] = lab == 2
+
+    odgt = os.path.join(root, "laf.odgt")
+    with open(odgt, "w") as f:
+        json.dump(records, f)
+
+    calls = {"n": 0}
+
+    def estimator(img):
+        # higher score exactly on the anomaly pixels of this image
+        key = records[calls["n"]]["fpath_img"]
+        calls["n"] += 1
+        return masks[key].astype(np.float32) + \
+            0.1 * rng.random(masks[key].shape)
+
+    result = run_native(estimator, root, odgt)
+    assert result["n_images"] == 2
+    assert result["AP"] == 1.0 and result["AUROC"] == 1.0
+    assert result["FPR95"] == 0.0
+
+    # inverted scores -> AUROC collapses
+    calls["n"] = 0
+    inv = run_native(lambda im: -estimator(im), root, odgt)
+    assert inv["AUROC"] < 0.5
+
+
+def test_eval_fishyscapes_cli(tmp_path):
+    """The bdlb-free driver end to end: random-weight DeepLab estimator
+    over a tiny LAF tree -> pooled AP/AUROC/FPR95 JSON."""
+    import json
+
+    from PIL import Image
+
+    from open_world_semantic_segmentation_tpu.cli import eval_fishyscapes
+
+    root = str(tmp_path / "laf")
+    os.makedirs(root)
+    rng = np.random.default_rng(1)
+    records = []
+    for i in range(2):
+        lab = np.ones((32, 48), np.uint8)
+        lab[10:20, 20:30] = 2
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                     dtype=np.uint8)).save(
+            os.path.join(root, f"i{i}.png"))
+        Image.fromarray(lab).save(os.path.join(root, f"l{i}.png"))
+        records.append({"fpath_img": f"i{i}.png", "fpath_segm": f"l{i}.png",
+                        "height": 32, "width": 48})
+    odgt = os.path.join(root, "laf.odgt")
+    with open(odgt, "w") as f:
+        json.dump(records, f)
+
+    cfg = Config()
+    cfg.DATASET.root_dataset = root
+    cfg.DATASET.list_val = odgt
+    cfg.DEEPLAB.model = "deeplabv3plus_mobilenet"
+    cfg.DEEPLAB.num_classes = 19
+    result = eval_fishyscapes.main(cfg, jnp.float32, method="entropy")
+    assert set(result) == {"AP", "AUROC", "FPR95", "n_images"}
+    assert 0.0 <= result["AP"] <= 1.0
+    assert result["n_images"] == 2
+
+
 def test_main_deeplab_voc(tmp_path):
     """VOC dataset wired through the DeepLab trainer."""
     from open_world_semantic_segmentation_tpu.cli import main_deeplab
