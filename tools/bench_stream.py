@@ -31,7 +31,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(height=720, width=1280, n_frames=32, quant="off",
-         device_input=False, warmup=3):
+         device_input=False, warmup=3, pipeline_depth=1):
+    """``pipeline_depth`` > 1 keeps that many frames in flight (consume
+    frame i-depth's labels while dispatching frame i): jax dispatch is
+    async, so the host->device transfer of the next frame overlaps the
+    current forward — the production streaming configuration. Depth 1 is
+    the strict lowest-latency mode (each frame fully consumed before the
+    next is sent)."""
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
     os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
@@ -87,10 +93,18 @@ def main(height=720, width=1280, n_frames=32, quant="off",
         pred, c = fwd(variables, f)
     np.asarray(pred)  # full label-map readback = the streaming consumer
 
+    from collections import deque
+
     tic = time.perf_counter()
+    pending = deque()
     for f in frames:
-        pred, c = fwd(variables, f)
-        np.asarray(pred)  # consume each frame's labels (sync)
+        pending.append(fwd(variables, f))
+        if len(pending) >= max(1, pipeline_depth):
+            pred, _ = pending.popleft()
+            np.asarray(pred)  # consume labels (sync)
+    while pending:
+        pred, _ = pending.popleft()
+        np.asarray(pred)
     dt = (time.perf_counter() - tic) / n_frames
     print(json.dumps({
         "metric": "stream_inference",
@@ -98,6 +112,7 @@ def main(height=720, width=1280, n_frames=32, quant="off",
         "unit": "frames/sec/chip",
         "input": "uint8" if device_input else "float32",
         "quant": quant,
+        "pipeline_depth": pipeline_depth,
         "frame_ms": round(1000 * dt, 2),
     }))
 
@@ -110,6 +125,8 @@ if __name__ == "__main__":
     ap.add_argument("--quant", choices=["off", "int8", "int8-3x3", "w4a8"],
                     default="off")
     ap.add_argument("--device-input", action="store_true")
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help="frames in flight (overlap transfer w/ compute)")
     args = ap.parse_args()
     main(args.height, args.width, args.frames, args.quant,
-         args.device_input)
+         args.device_input, pipeline_depth=args.pipeline_depth)
