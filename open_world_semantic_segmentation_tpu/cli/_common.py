@@ -73,12 +73,22 @@ def init_or_load_variables(cfg: Config, model, example_img, *,
         elif enc_w.endswith(".pkl") or dec_w.endswith(".pkl"):
             from ..train import load_checkpoint
 
-            # partial: the reference loads strict=False (models.py:178-182);
-            # also required when the eval model carries extra variable
-            # collections absent from the checkpoint (e.g. int8 'quant'
-            # scales, which calibration fills afterwards)
-            variables, _ = load_checkpoint(enc_w or dec_w, target=variables,
-                                           partial=True)
+            try:
+                variables, _ = load_checkpoint(enc_w or dec_w,
+                                               target=variables)
+            except (ValueError, KeyError) as e:
+                # partial fallback, LOUDLY: needed when the eval model
+                # carries extra variable collections absent from the
+                # checkpoint (int8 'quant' scales, filled by calibration)
+                # — but a wrong-architecture checkpoint also lands here,
+                # so surface what mismatched (reference analog: the
+                # strict=False loads of models.py:178-182)
+                print(f"WARNING: strict checkpoint load failed ({e}); "
+                      "retrying partial load — leaves missing from the "
+                      "checkpoint keep their random init")
+                variables, _ = load_checkpoint(enc_w or dec_w,
+                                               target=variables,
+                                               partial=True)
     return variables
 
 

@@ -28,7 +28,7 @@ from ..openset.fishyscapes import make_estimator, run_bdlb, run_native
 
 def main(cfg, precision_dtype=jnp.bfloat16, method: str = "entropy",
          max_images=None, use_bdlb: bool = False, variables=None):
-    from .main_deeplab import build_model
+    from .main_deeplab import build_model, load_deeplab_variables
 
     model, num_classes = build_model(cfg, train=False,
                                      dtype=precision_dtype)
@@ -36,18 +36,10 @@ def main(cfg, precision_dtype=jnp.bfloat16, method: str = "entropy",
         example = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(cfg.DEEPLAB.random_seed), example)
-        ckpt = cfg.DEEPLAB.ckpt
-        if ckpt:
-            from ..train import load_checkpoint
-
-            tree, _ = load_checkpoint(ckpt)
-            from flax import serialization
-
-            state = serialization.to_state_dict(variables)
-            state["params"] = tree["params"]
-            if "batch_stats" in tree and "batch_stats" in state:
-                state["batch_stats"] = tree["batch_stats"]
-            variables = serialization.from_state_dict(variables, state)
+        if cfg.DEEPLAB.ckpt:
+            # handles reference .pth and package pickles alike
+            variables, _ = load_deeplab_variables(
+                cfg, model, variables, cfg.DEEPLAB.ckpt)
 
     estimator = make_estimator(model, variables, method=method)
     if use_bdlb:

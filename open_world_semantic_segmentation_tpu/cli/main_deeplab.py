@@ -97,6 +97,56 @@ def get_datasets(cfg, train_tf, val_tf):
     return train_ds, val_ds
 
 
+def get_val_dataset(cfg, val_tf):
+    """Only the val split — eval-only flows must not touch (or require)
+    the train tree (a val-only dataset checkout is the normal --test_only
+    deployment)."""
+    d = cfg.DEEPLAB
+    if d.dataset == "voc":
+        from ..data import VOCSegmentation
+
+        return VOCSegmentation(cfg.DATASET.root_dataset, image_set="val",
+                               transform=val_tf)
+    unknown = (tuple(d.unknown_target)
+               if ("embedding" in d.model or d.unknown_scores) else None)
+    return Cityscapes(cfg.DATASET.root_dataset, split="val",
+                      transform=val_tf, unknown_target=unknown)
+
+
+def load_deeplab_variables(cfg, model, variables, ckpt: str):
+    """Load a DeepLab checkpoint into ``variables``: reference .pth
+    (test.py --ckpt surface, converted via train.convert) or this
+    package's pickle (raw variables or a TrainState tree). Returns
+    ``(variables, metadata)``."""
+    d = cfg.DEEPLAB
+    if ckpt.endswith(".pth"):
+        from ..train import convert as tc
+
+        heads = ("classifier",) if "self_distillation" not in d.model \
+            else tuple(["classifier"] +
+                       [f"classifier_{i}"
+                        for i in range(1, cfg.FEWSHOT.novel_cls + 1)])
+        conv = (tc.convert_mobilenet_deeplab_checkpoint
+                if "mobilenet" in d.model
+                else lambda c: tc.convert_deeplab_checkpoint(
+                    c, head_names=heads))(tc.load_torch_checkpoint(ckpt))
+        tree, meta = {"params": conv["params"],
+                      "batch_stats": conv["batch_stats"]}, {}
+    else:
+        from ..train import load_checkpoint
+
+        tree, meta = load_checkpoint(ckpt)
+    if "params" in tree:
+        from flax import serialization
+
+        state = serialization.to_state_dict(variables)
+        state["params"] = tree["params"]
+        if "batch_stats" in tree and "batch_stats" in state:
+            state["batch_stats"] = tree["batch_stats"]
+        variables = serialization.from_state_dict(variables, state)
+    return variables, meta
+
+
 def build_model(cfg, *, train, dtype):
     d = cfg.DEEPLAB
     is_embedding = "embedding" in d.model

@@ -84,7 +84,12 @@ class Segmenter:
         from ..data.native import resize_normalize
         from ..openset.scoring import dissum_conf
 
-        self.device_input = device_input and not artifact
+        if device_input and artifact:
+            raise ValueError(
+                "--device-input needs the normalization inside the "
+                "program, which a saved artifact does not contain — "
+                "re-export with normalization baked in or drop one flag")
+        self.device_input = device_input
         self.resize_normalize = resize_normalize
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
@@ -329,7 +334,7 @@ def serve(cfg, precision_dtype, host="127.0.0.1", port=8501, height=720,
     server = ThreadingHTTPServer((host, port), make_handler(segmenter))
     print(f"serving {segmenter.model_name} on "
           f"http://{host}:{server.server_address[1]} "
-          f"(input {height}x{width})", flush=True)
+          f"(input {segmenter.size[0]}x{segmenter.size[1]})", flush=True)
     return server
 
 

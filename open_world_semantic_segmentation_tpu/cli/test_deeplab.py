@@ -135,51 +135,30 @@ def validate(model, variables, val_ds, metrics: StreamSegMetrics, *,
 
 
 def main(cfg, precision_dtype=jnp.bfloat16, max_images=None):
-    from .main_deeplab import build_model, get_datasets, get_transforms
+    from .main_deeplab import (
+        build_model,
+        get_transforms,
+        get_val_dataset,
+        load_deeplab_variables,
+    )
 
     d = cfg.DEEPLAB
     model, num_classes = build_model(cfg, train=False, dtype=precision_dtype)
 
     _, val_tf = get_transforms(d.crop_size, d.dataset)
-    _, val_ds = get_datasets(cfg, None, val_tf)
+    # val split only: eval-only must not require the train tree
+    val_ds = get_val_dataset(cfg, val_tf)
 
     example = jnp.zeros((1, d.crop_size, d.crop_size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(d.random_seed), example)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(d.random_seed),
+                                    example)
 
     ckpt = d.ckpt or os.path.join(cfg.DIR, "best.pkl")
     if not os.path.exists(ckpt):
         raise FileNotFoundError(
             f"checkpoint {ckpt!r} not found — set DEEPLAB.ckpt or train "
             "first (main.py asserts --ckpt exists for --test_only)")
-    if ckpt.endswith(".pth"):
-        # the reference's published torch checkpoints load directly
-        # (test.py --ckpt / main.py --ckpt surface)
-        from ..train import convert as tc
-
-        heads = ("classifier",) if "self_distillation" not in d.model \
-            else tuple(["classifier"] +
-                       [f"classifier_{i}"
-                        for i in range(1, cfg.FEWSHOT.novel_cls + 1)])
-        conv = (tc.convert_mobilenet_deeplab_checkpoint
-                if "mobilenet" in d.model
-                else lambda c: tc.convert_deeplab_checkpoint(
-                    c, head_names=heads))(tc.load_torch_checkpoint(ckpt))
-        tree, meta = {"params": conv["params"],
-                      "batch_stats": conv["batch_stats"]}, {}
-    else:
-        from ..train import load_checkpoint
-
-        tree, meta = load_checkpoint(ckpt)
-    # accept both a raw variables dict and a TrainState checkpoint
-    # (main_deeplab saves TrainState: params + batch_stats + opt state)
-    if "params" in tree:
-        from flax import serialization
-
-        state = serialization.to_state_dict(variables)
-        state["params"] = tree["params"]
-        if "batch_stats" in tree and "batch_stats" in state:
-            state["batch_stats"] = tree["batch_stats"]
-        variables = serialization.from_state_dict(variables, state)
+    variables, meta = load_deeplab_variables(cfg, model, variables, ckpt)
     print(f"loaded checkpoint {ckpt} "
           f"(step {meta.get('cur_itrs', meta.get('step', '?'))})")
 

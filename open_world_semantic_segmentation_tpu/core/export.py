@@ -29,42 +29,35 @@ from typing import Optional, Sequence, Tuple
 MAGIC = b"OWSS-EXPORT-v1\n"
 
 
-def export_eval_fn(model, variables, input_size: Tuple[int, int],
-                   batch: int = 1, method: str = "dissum",
-                   platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Serialize the full eval computation with weights as constants.
-
-    ``method``: OOD confidence baked into the artifact — "dissum", "msp",
-    "maxlogit", or "none" (labels only).
-    ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
-    defaults to the current backend.
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import export as jex
-
+def _conf_fn(method: str):
+    """method name -> per-image confidence kernel (None = labels only)."""
     from ..openset import scoring
 
-    conf_fn = {
+    return {
         "dissum": scoring.dissum_conf,
         "msp": scoring.msp_conf,
         "maxlogit": scoring.maxlogit_conf,
         "none": None,
     }[method]
 
-    def fwd(img):
-        out = model.apply(variables, img, seg_size=input_size)
-        scores = out["scores"]
-        pred = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
-        if conf_fn is None:
-            return pred
-        return pred, jax.vmap(conf_fn)(scores).astype(jnp.float16)
 
-    spec = jax.ShapeDtypeStruct((batch, *input_size, 3), jnp.float32)
-    exported = jex.export(jax.jit(fwd),
-                          platforms=tuple(platforms) if platforms else None)(
-        spec)
-    return exported.serialize()
+def export_eval_fn(model, variables, input_size: Tuple[int, int],
+                   batch: int = 1, method: str = "dissum",
+                   platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the full eval computation with weights as constants.
+
+    The single-scale special case of :func:`export_pyramid_eval_fn`
+    (one input at ``input_size``; same calling convention — the artifact
+    takes one array).
+
+    ``method``: OOD confidence baked into the artifact — "dissum", "msp",
+    "maxlogit", or "none" (labels only).
+    ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
+    defaults to the current backend.
+    """
+    return export_pyramid_eval_fn(model, variables, [input_size],
+                                  input_size, batch=batch, method=method,
+                                  platforms=platforms)
 
 
 def export_pyramid_eval_fn(model, variables,
@@ -88,14 +81,7 @@ def export_pyramid_eval_fn(model, variables,
     import jax.numpy as jnp
     from jax import export as jex
 
-    from ..openset import scoring
-
-    conf_fn = {
-        "dissum": scoring.dissum_conf,
-        "msp": scoring.msp_conf,
-        "maxlogit": scoring.maxlogit_conf,
-        "none": None,
-    }[method]
+    conf_fn = _conf_fn(method)
 
     def fwd(*pyramid):
         scores = None

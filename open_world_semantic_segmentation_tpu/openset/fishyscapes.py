@@ -43,7 +43,11 @@ def make_estimator(model, variables, *, method: str = "dissum",
             return -jnp.sum(p * jnp.log(p + 1e-12), axis=-1)
         if method == "msp":
             return 1.0 - msp_conf(scores)
-        return dissum_conf(scores)  # already higher = anomalous
+        # dissum_conf follows the package convention LOWER = more
+        # anomalous (in-distribution pixels are FAR from the 12 wrong
+        # prototypes, so their distance sum is larger); the estimator
+        # contract is higher = anomalous -> negate
+        return -dissum_conf(scores)
 
     def estimator(image) -> np.ndarray:
         arr = np.asarray(image).astype(np.float32) / 255.0

@@ -59,9 +59,14 @@ def quantize_weight_int4(w):
 def quantize_act(x, amax):
     """Per-tensor symmetric int8 with a static scale ``amax/127``.
 
-    Returns ``(x_q int8, scale f32 scalar)``.
+    Returns ``(x_q int8, scale f32 scalar)``. An uncalibrated scale
+    (``amax <= 0`` — the init value before :func:`calibrate` runs)
+    poisons the returned scale with NaN so the layer's output (scaled by
+    it) is loudly NaN instead of silently saturating every activation to
+    ±127; the offline path additionally rejects such trees in
+    :func:`prequantize`.
     """
-    scale = jnp.maximum(amax, 1e-12) / 127.0
+    scale = jnp.where(amax > 0, amax, jnp.nan) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                    -127, 127).astype(jnp.int8)
     return x_q, scale

@@ -35,37 +35,60 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step_and_orbax(tmp_path):
-    root = make_streethazards(str(tmp_path / "sh"), n_train=8, n_val=2,
-                              h=48, w=64)
-    outdir = str(tmp_path / "out")
-    os.makedirs(outdir)
-    port = _free_port()
-
+def _run_workers(root, outdir, port, timeout=600):
+    """Spawn both workers; returns per-worker (returncode, log_tail)."""
     env = dict(os.environ)
     # the worker overrides platform/devices via jax.config itself; drop any
     # conflicting XLA_FLAGS the parent test session may have set
     env.pop("XLA_FLAGS", None)
 
+    # log to FILES, not pipes: with PIPE, a worker that fills its ~64KB
+    # stdout buffer blocks in write() while its peer waits on a gloo
+    # collective with it — a cross-process stall that burns the timeout
+    logs = [open(os.path.join(outdir, f"worker_{pid}.log"), "wb")
+            for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port),
              root, outdir],
             env=env, cwd=os.path.dirname(os.path.dirname(WORKER)),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            stdout=logs[pid], stderr=subprocess.STDOUT)
         for pid in range(2)
     ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out.decode(errors="replace"))
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    finally:
+        for f in logs:
+            f.close()
+    out = []
+    for pid, p in enumerate(procs):
+        with open(os.path.join(outdir, f"worker_{pid}.log"),
+                  errors="replace") as f:
+            out.append((p.returncode, f.read()[-3000:]))
+    return out
+
+
+def test_two_process_train_step_and_orbax(tmp_path):
+    root = make_streethazards(str(tmp_path / "sh"), n_train=8, n_val=2,
+                              h=48, w=64)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+
+    # one retry with a fresh port: the coordinator bind / gloo connect can
+    # race with other machine activity (a real-network test, not numerics)
+    for attempt in range(2):
+        results_rc = _run_workers(root, outdir, _free_port())
+        if all(rc == 0 for rc, _ in results_rc):
+            break
+        if attempt == 1:
+            raise AssertionError(
+                "workers failed twice:\n" +
+                "\n".join(tail for _, tail in results_rc))
 
     results = []
     for pid in range(2):
