@@ -104,12 +104,28 @@ def main(pid: int, nprocs: int, port: int, root: str, outdir: str):
 
     step_fn = make_anomaly_train_step(model, alpha=0.01,
                                       rng=jax.random.PRNGKey(0))
+
+    # Compile EXPLICITLY, then rendezvous on the coordination service
+    # (pure gRPC, generous timeout) before the first execution: the gloo
+    # context that backs the cross-process collectives initializes at
+    # first RUN with a fixed ~30s key-value timeout, which a compile-time
+    # or import-time skew between workers on a loaded 1-CPU host can
+    # exceed (observed flake). After the barrier both processes enter
+    # execution within milliseconds of each other.
+    batch = next(batches)
+    assert batch["img_data"].shape[0] == bs_local * nprocs
+    compiled = step_fn.lower(state, batch).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("owss_mp_compiled", 300_000)
+
     losses = []
-    for _ in range(3):
-        batch = next(batches)
-        assert batch["img_data"].shape[0] == bs_local * nprocs
-        state, metrics = step_fn(state, batch)
+    for i in range(3):
+        state, metrics = compiled(state, batch)
         losses.append(float(metrics["loss"]))  # replicated -> readable
+        if i < 2:
+            batch = next(batches)
+            assert batch["img_data"].shape[0] == bs_local * nprocs
 
     final = {"params": state.params, "batch_stats": state.batch_stats}
     digest = tree_digest(final)
