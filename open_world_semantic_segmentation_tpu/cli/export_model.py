@@ -29,13 +29,50 @@ from ..core.export import (
 )
 
 
+def _export_npm(cfg, precision_dtype, height, width, batch, platforms, out):
+    """--npm: the few-shot NPM 16+1 inference (cli/eval_embedding.py
+    semantics) with the prototype as a runtime artifact input."""
+    import jax
+
+    from .main_deeplab import build_model
+    from ..core.export import export_npm_eval_fn
+    from ..train import load_checkpoint
+
+    model, num_classes = build_model(cfg, train=False, dtype=precision_dtype)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    w = cfg.MODEL.weights_encoder or cfg.MODEL.weights_decoder
+    if w:
+        variables, _ = load_checkpoint(w, target=variables, partial=True)
+    blob, feat_dim = export_npm_eval_fn(
+        model, variables, (height, width), batch=batch,
+        novel_id=num_classes, dis_threshold=cfg.FEWSHOT.npm_dis_threshold,
+        platforms=platforms)
+    meta = {
+        "model": cfg.DEEPLAB.model,
+        "input": [batch, height, width, 3],
+        "npm": True,
+        "prototype_dim": feat_dim,
+        "novel_id": num_classes,
+        "dis_threshold": float(cfg.FEWSHOT.npm_dis_threshold),
+        "platforms": list(platforms) if platforms else None,
+    }
+    save_exported(out, blob, meta)
+    print(f"exported NPM {meta['model']} ({len(blob) / 1e6:.1f} MB) -> {out}")
+    return out
+
+
 def main(cfg, precision_dtype=jnp.bfloat16, height=720, width=1280,
          batch=1, method="dissum", platforms=None, out="model.owss",
-         quant="off", calib_glob=None, pyramid=False):
+         quant="off", calib_glob=None, pyramid=False, npm=False):
     """``pyramid=True`` exports the FULL multi-scale eval pipeline (one
     forward per cfg.DATASET.imgSizes scale, scores averaged at
     (height, width), conf + argmax) as one artifact; otherwise a
-    single-scale forward at (height, width)."""
+    single-scale forward at (height, width). ``npm=True`` exports the
+    few-shot NPM override pipeline instead (prototype as runtime input)."""
+    if npm:
+        return _export_npm(cfg, precision_dtype, height, width, batch,
+                           platforms, out)
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype, quant=quant)
     variables = init_or_load_variables(
@@ -97,11 +134,15 @@ def _entry():
     parser.add_argument("--pyramid", action="store_true",
                         help="export the full multi-scale eval pipeline "
                              "(one input per DATASET.imgSizes scale)")
+    parser.add_argument("--npm", action="store_true",
+                        help="export the few-shot NPM override pipeline "
+                             "(DEEPLAB.model embedding net; prototype is a "
+                             "runtime input)")
     args = parser.parse_args()
     cfg = parse_config(args)
     main(cfg, compute_dtype(args), args.height, args.width, args.batch,
          args.method, args.platforms, args.out, quant=args.quant,
-         calib_glob=args.calib_glob, pyramid=args.pyramid)
+         calib_glob=args.calib_glob, pyramid=args.pyramid, npm=args.npm)
 
 
 if __name__ == "__main__":

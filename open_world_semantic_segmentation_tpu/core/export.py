@@ -106,10 +106,72 @@ def export_pyramid_eval_fn(model, variables,
     return exported.serialize()
 
 
+def export_npm_eval_fn(model, variables, input_size: Tuple[int, int],
+                       batch: int = 1, novel_id: int = 16,
+                       dis_threshold: float = -1.5,
+                       platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the NPM (novel-prototype matching) 16+1 inference as an
+    artifact with the PROTOTYPE as a runtime input.
+
+    The few-shot pipeline of cli/eval_embedding.py (reference:
+    DeepLabV3Plus-Pytorch/test_embedding.py:428-445): embedding forward ->
+    base-head argmax -> per-pixel squared distance to the prototype ->
+    override with ``novel_id`` where the distance beats both the threshold
+    and the max base logit. Because the prototype is an argument (not a
+    baked constant), ONE artifact serves every few-shot class/shot-count —
+    swap prototypes without re-exporting.
+
+    Calling convention: ``fn(image (B,H,W,3) f32, prototype (C,) f32) ->
+    (uint8 preds (B,H,W), f16 distance map (B,H,W))``.
+
+    Returns ``(blob, feat_dim)`` so the caller can stamp the expected
+    prototype dimension into the artifact metadata.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from ..fewshot.prototypes import npm_override
+
+    h, w = input_size
+    img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+    # infer the embedding dim from the model's feature output
+    out_shapes = jax.eval_shape(
+        lambda v, x: model.apply(v, x), variables, img_spec)
+    feat_dim = out_shapes[2].shape[-1]
+    proto_spec = jax.ShapeDtypeStruct((feat_dim,), jnp.float32)
+
+    def fwd(image, prototype):
+        logits, _, features = model.apply(variables, image)
+        preds = jnp.argmax(logits, axis=-1)
+        new_preds, dis = jax.vmap(
+            lambda p, f, lg: npm_override(
+                p, f, lg, prototype, novel_id=novel_id,
+                dis_threshold=dis_threshold))(preds, features, logits)
+        return new_preds.astype(jnp.uint8), dis.astype(jnp.float16)
+
+    exported = jex.export(jax.jit(fwd),
+                          platforms=tuple(platforms) if platforms else None)(
+        img_spec, proto_spec)
+    return exported.serialize(), feat_dim
+
+
 def save_exported(path: str, blob: bytes, meta: Optional[dict] = None):
-    """Write MAGIC + JSON metadata line + the serialized artifact."""
+    """Write MAGIC + JSON metadata line + the serialized artifact.
+
+    Versioning fields are stamped automatically (model-zoo story): the
+    artifact ``format`` (bumped with MAGIC), the exporting framework and
+    jax versions. Caller-provided keys win on collision.
+    """
+    import jax
+
+    from .. import __version__
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    header = json.dumps(meta or {}).encode() + b"\n"
+    stamped = {"format": 1, "owss_version": __version__,
+               "jax_version": jax.__version__}
+    stamped.update(meta or {})
+    header = json.dumps(stamped).encode() + b"\n"
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(MAGIC)

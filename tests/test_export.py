@@ -167,6 +167,67 @@ def test_export_pyramid_int8_cli(tmp_path):
     assert pred.shape == (1, 48, 64)
 
 
+def test_export_npm_prototype_as_input(tmp_path):
+    """--npm artifact: the few-shot NPM override pipeline with the
+    PROTOTYPE as a runtime input — one artifact serves any prototype.
+    Matches cli/eval_embedding.py's jitted fwd (test_embedding.py:428-445
+    semantics) and carries the auto-stamped versioning metadata."""
+    from open_world_semantic_segmentation_tpu import __version__
+    from open_world_semantic_segmentation_tpu.cli import export_model
+    from open_world_semantic_segmentation_tpu.cli.main_deeplab import (
+        build_model)
+    from open_world_semantic_segmentation_tpu.core.config import Config
+    from open_world_semantic_segmentation_tpu.fewshot import npm_override
+
+    cfg = Config()
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet50"
+    cfg.DEEPLAB.num_classes = 16
+    out = str(tmp_path / "npm.owss")
+    export_model.main(cfg, jnp.float32, height=32, width=48, out=out,
+                      npm=True)
+    fn, meta = load_exported(out)
+    assert meta["npm"] is True and meta["novel_id"] == 16
+    assert meta["prototype_dim"] >= 1
+    assert meta["format"] == 1 and meta["owss_version"] == __version__
+    assert meta["jax_version"] == jax.__version__
+
+    model, _ = build_model(cfg, train=False, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), jnp.float32)
+    logits, _, features = model.apply(variables, img)
+    feat_dim = features.shape[-1]
+
+    proto = jnp.asarray(rng.standard_normal(feat_dim), jnp.float32)
+    pred, dis = fn(img, proto)
+    assert pred.shape == (1, 32, 48) and pred.dtype == jnp.uint8
+    assert dis.shape == (1, 32, 48) and dis.dtype == jnp.float16
+
+    want, want_dis = npm_override(
+        jnp.argmax(logits, axis=-1)[0], features[0], logits[0], proto,
+        novel_id=16, dis_threshold=cfg.FEWSHOT.npm_dis_threshold)
+    np.testing.assert_array_equal(np.asarray(pred)[0], np.asarray(want))
+    np.testing.assert_allclose(np.asarray(dis, np.float32)[0],
+                               np.asarray(want_dis, np.float32), rtol=2e-3,
+                               atol=2e-3)
+
+    # swapping the prototype re-scores WITHOUT re-exporting: the same
+    # artifact matches the oracle for a second prototype too (with random
+    # init weights the override mask may stay empty — the distance map is
+    # the observable that must track the runtime input)
+    proto2 = jnp.asarray(10.0 + rng.standard_normal(feat_dim), jnp.float32)
+    pred2, dis2 = fn(img, proto2)
+    want2, want_dis2 = npm_override(
+        jnp.argmax(logits, axis=-1)[0], features[0], logits[0], proto2,
+        novel_id=16, dis_threshold=cfg.FEWSHOT.npm_dis_threshold)
+    np.testing.assert_array_equal(np.asarray(pred2)[0], np.asarray(want2))
+    np.testing.assert_allclose(np.asarray(dis2, np.float32)[0],
+                               np.asarray(want_dis2, np.float32), rtol=2e-3,
+                               atol=2e-2)
+    assert not np.array_equal(np.asarray(dis), np.asarray(dis2))
+
+
 def test_export_cli(tmp_path):
     from open_world_semantic_segmentation_tpu.cli import export_model
     from open_world_semantic_segmentation_tpu.core.config import Config
