@@ -180,6 +180,16 @@ def save_exported(path: str, blob: bytes, meta: Optional[dict] = None):
     os.replace(tmp, path)
 
 
+def read_meta(path: str) -> dict:
+    """Read ONLY the metadata header (MAGIC + JSON line) — O(header)
+    bytes, no StableHLO deserialization. For manifest/zoo tooling."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not an OWSS export artifact")
+        return json.loads(f.readline())
+
+
 def load_exported(path: str):
     """Load an artifact; returns ``(callable, meta)``. The callable runs
     the deserialized computation under jit on the current backend."""

@@ -228,6 +228,30 @@ def test_export_npm_prototype_as_input(tmp_path):
     assert not np.array_equal(np.asarray(dis), np.asarray(dis2))
 
 
+def test_artifacts_zoo_list_and_check(tiny_model, tmp_path, capsys):
+    """cli/artifacts: header-only manifest scan + full deserialize check."""
+    from open_world_semantic_segmentation_tpu.cli import artifacts
+
+    model, variables = tiny_model
+    blob = export_eval_fn(model, variables, (32, 48), method="msp")
+    save_exported(str(tmp_path / "zoo" / "a.owss"), blob, {"model": "tiny"})
+    (tmp_path / "zoo" / "not_artifact.owss").write_bytes(b"garbage")
+
+    rc = artifacts.main(["list", str(tmp_path / "zoo")])
+    rows = [__import__("json").loads(l)
+            for l in capsys.readouterr().out.splitlines()]
+    assert rc == 1  # the garbage file is reported loudly
+    by_name = {os.path.basename(r["path"]): r for r in rows}
+    assert by_name["a.owss"]["model"] == "tiny"
+    assert by_name["a.owss"]["format"] == 1
+    assert "error" in by_name["not_artifact.owss"]
+
+    rc = artifacts.main(["check", str(tmp_path / "zoo" / "a.owss")])
+    report = __import__("json").loads(capsys.readouterr().out)
+    assert rc == 0 and report["runs_here"] is True
+    assert any("32,48,3" in a.replace(" ", "") for a in report["in_avals"])
+
+
 def test_export_cli(tmp_path):
     from open_world_semantic_segmentation_tpu.cli import export_model
     from open_world_semantic_segmentation_tpu.core.config import Config
