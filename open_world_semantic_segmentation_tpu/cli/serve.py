@@ -97,9 +97,11 @@ class Segmenter:
                       "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
 
         if artifact:
-            from ..core.export import load_exported
+            from ..core.export import load_exported, read_meta
 
-            afn, meta = load_exported(artifact)
+            # validate the cheap metadata header BEFORE deserializing the
+            # (possibly hundreds of MB) StableHLO payload
+            meta = read_meta(artifact)
             if meta.get("pyramid"):
                 raise ValueError(
                     "serve needs a single-scale artifact (export without "
@@ -107,6 +109,11 @@ class Segmenter:
             if meta.get("method") == "none":
                 raise ValueError("serve needs an artifact with a conf "
                                  "method (exported with --method none)")
+            if meta.get("npm"):
+                raise ValueError(
+                    "NPM artifacts take (image, prototype) inputs — serve "
+                    "only dispatches single-image artifacts")
+            afn, meta = load_exported(artifact)
             ab, ah, aw, _ = meta.get("input", [1, height, width, 3])
             self.size = (ah, aw)
             self.model_name = meta.get("model", "artifact")

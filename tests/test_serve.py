@@ -102,6 +102,26 @@ def test_artifact_server(tmp_path):
         srv.shutdown()
 
 
+def test_artifact_rejects_incompatible_meta(tmp_path):
+    """Pyramid/method-none/NPM artifacts are rejected from the metadata
+    header BEFORE the (possibly huge) payload is deserialized — the blob
+    here is garbage, so passing means the guard fired first."""
+    import pytest
+
+    from open_world_semantic_segmentation_tpu.core.export import (
+        save_exported)
+
+    cases = [({"pyramid": True}, "single-scale"),
+             ({"method": "none"}, "conf"),
+             ({"npm": True}, "prototype")]
+    for i, (meta, match) in enumerate(cases):
+        path = str(tmp_path / f"bad{i}.owss")
+        save_exported(path, b"not-stablehlo", meta)
+        with pytest.raises(ValueError, match=match):
+            serve_mod.serve(Config(), jnp.float32, host="127.0.0.1",
+                            port=0, artifact=path)
+
+
 def test_device_input_server():
     """--device-input: uint8 ships to the device, normalization runs
     in-program; label output agrees with the host-normalized path up to
