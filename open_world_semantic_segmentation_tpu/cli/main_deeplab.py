@@ -45,6 +45,8 @@ MODEL_MAP = {
         deeplab_models.deeplabv3plus_embedding_resnet101,
     "deeplabv3plus_embedding_resnet50":
         deeplab_models.deeplabv3plus_embedding_resnet50,
+    "deeplabv3plus_embedding_mobilenet":
+        deeplab_models.deeplabv3plus_embedding_mobilenet,
     "deeplabv3plus_embedding_self_distillation_resnet101":
         deeplab_models.deeplabv3plus_embedding_self_distillation_resnet101,
 }

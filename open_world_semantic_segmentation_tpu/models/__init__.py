@@ -13,6 +13,7 @@ from .deeplab import (
     deeplabv3_resnet101,
     deeplabv3plus_embedding_resnet101,
     deeplabv3plus_embedding_resnet50,
+    deeplabv3plus_embedding_mobilenet,
     deeplabv3plus_embedding_self_distillation_resnet101,
     deeplabv3plus_mobilenet,
     deeplabv3_mobilenet,

@@ -294,6 +294,19 @@ def deeplabv3plus_embedding_resnet50(num_classes=16, output_stride=16,
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 
 
+def deeplabv3plus_embedding_mobilenet(num_classes=16, output_stride=16,
+                                      train=False, dtype=jnp.float32):
+    """MobileNetV2 variant of the embedding model — an API extension
+    (the reference only composes the embedding wrapper with resnets,
+    network/modeling.py:140-157); same distance head on the edge-class
+    backbone for cheap open-set deployments."""
+    bb = mobilenet_v2(output_stride=output_stride, train=train, dtype=dtype,
+                      name="backbone")
+    head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
+                             train=train, dtype=dtype, name="head")
+    return DeepLabV3PlusEmbedding(backbone=bb, head=head)
+
+
 def deeplabv3plus_embedding_self_distillation_resnet101(
         num_classes=16, cls_novel=1, output_stride=16, train=False,
         dtype=jnp.float32):

@@ -10,6 +10,7 @@ from open_world_semantic_segmentation_tpu.models import (
     SegmentationModel,
     deeplabv3plus_resnet101,
     deeplabv3plus_embedding_resnet101,
+    deeplabv3plus_embedding_mobilenet,
     deeplabv3plus_embedding_self_distillation_resnet101,
     deeplabv3plus_mobilenet,
     hrnetv2,
@@ -88,6 +89,16 @@ def test_deeplabv3plus_resnet101_shapes():
 
 def test_deeplab_embedding_outputs():
     model = deeplabv3plus_embedding_resnet101(num_classes=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    (logits, centers, features), _ = _init_apply(model, x)
+    assert logits.shape == (1, 64, 64, 16)
+    assert centers.shape == (16, 16)
+    assert features.shape == (1, 64, 64, 16)
+    assert float(jnp.max(logits)) <= 1e-3  # negative squared distances
+
+
+def test_deeplab_embedding_mobilenet_outputs():
+    model = deeplabv3plus_embedding_mobilenet(num_classes=16)
     x = jnp.zeros((1, 64, 64, 3))
     (logits, centers, features), _ = _init_apply(model, x)
     assert logits.shape == (1, 64, 64, 16)
