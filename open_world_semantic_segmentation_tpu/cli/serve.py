@@ -12,6 +12,19 @@ Endpoints:
                              response: PNG label map (uint8 class ids).
                              Query ?scores=dissum returns a float16 npy
                              anomaly-confidence map instead.
+  POST /stream            -> video-rate client path: ONE persistent
+                             connection carrying many frames. Request body
+                             is a sequence of <u32 big-endian length><image
+                             bytes> records (length 0 or EOF ends the
+                             stream); the response streams back the same
+                             framing around PNG label maps (or npy conf
+                             maps with ?scores=dissum), in order. The
+                             handler keeps 2 frames in flight: jax dispatch
+                             is async, so the device runs frame N while the
+                             thread decodes frame N+1 — per-frame HTTP
+                             setup/teardown disappears and decode overlaps
+                             compute (the server-side twin of
+                             tools/bench_stream.py --pipeline-depth).
 
 Requests are handled on a thread per connection (ThreadingHTTPServer):
 host-side PIL decode and PNG encode for concurrent requests overlap, while
@@ -190,8 +203,10 @@ class Segmenter:
                                       self._in_dtype))
             self.warmed.append(b)
 
-    def _run_batch(self, arrs):
-        """One padded device dispatch over a list of HWC float arrays."""
+    def _dispatch(self, arrs):
+        """Pad + enqueue one device dispatch; returns DEVICE arrays (jax
+        dispatch is async — materializing with np.asarray is the caller's
+        synchronization point, which is what lets /stream pipeline)."""
         import jax.numpy as jnp
 
         n = len(arrs)
@@ -203,6 +218,12 @@ class Segmenter:
             pred, conf = self._fwd(self.variables, jnp.asarray(batch))
         with self._stats_lock:
             self.stats["batches"] += 1
+        return pred, conf
+
+    def _run_batch(self, arrs):
+        """One padded device dispatch over a list of HWC float arrays."""
+        pred, conf = self._dispatch(arrs)
+        n = len(arrs)
         return np.asarray(pred)[:n], np.asarray(conf)[:n]
 
     def _collector(self):
@@ -231,20 +252,21 @@ class Segmenter:
             for j in jobs:
                 j.done.set()
 
-    def segment(self, image_bytes: bytes):
+    def _decode(self, image_bytes: bytes):
         from PIL import Image
 
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        if self.device_input:
+            # ship uint8; normalization happens inside the program
+            return np.asarray(img.resize((self.size[1], self.size[0]),
+                                         Image.BILINEAR), np.uint8)
+        return self.resize_normalize(np.asarray(img),
+                                     (self.size[0], self.size[1]))
+
+    def segment(self, image_bytes: bytes):
         tic = time.perf_counter()
         try:
-            img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-            if self.device_input:
-                # ship uint8; normalization happens inside the program
-                arr = np.asarray(
-                    img.resize((self.size[1], self.size[0]),
-                               Image.BILINEAR), np.uint8)
-            else:
-                arr = self.resize_normalize(np.asarray(img),
-                                            (self.size[0], self.size[1]))
+            arr = self._decode(image_bytes)
             # decode/resize above runs concurrently across request threads;
             # only the device dispatch is serialized
             if self._queue is not None:
@@ -268,6 +290,75 @@ class Segmenter:
             self.stats["latency_ms_max"] = max(
                 self.stats["latency_ms_max"], ms)
         return pred, conf
+
+    def stream(self, rfile, wfile, scores: bool = False,
+               depth: int = 2) -> int:
+        """Length-prefixed frame stream over one connection (POST /stream).
+
+        Reads ``<u32 length><image bytes>`` records from ``rfile`` (length
+        0 or EOF terminates), writes the same framing around the encoded
+        results to ``wfile``, in order. Up to ``depth`` frames stay in
+        flight on the device: ``_dispatch`` returns un-materialized device
+        arrays, so the np.asarray in the drain step is the only sync point
+        — decode of the next frame overlaps device compute of the previous
+        one. Returns the number of frames served."""
+        import collections
+        import struct
+
+        from PIL import Image
+
+        pending = collections.deque()  # (tic, pred_dev, conf_dev)
+        served = 0
+
+        def drain_one():
+            nonlocal served
+            tic, pred_dev, conf_dev = pending.popleft()
+            if scores:
+                payload = io.BytesIO()
+                np.save(payload, np.asarray(conf_dev)[0])
+                payload = payload.getvalue()
+            else:
+                buf = io.BytesIO()
+                Image.fromarray(np.asarray(pred_dev)[0], "L").save(
+                    buf, format="PNG")
+                payload = buf.getvalue()
+            wfile.write(struct.pack(">I", len(payload)))
+            wfile.write(payload)
+            served += 1
+            ms = (time.perf_counter() - tic) * 1e3
+            with self._stats_lock:
+                self.stats["requests"] += 1
+                self.stats["latency_ms_sum"] += ms
+                self.stats["latency_ms_max"] = max(
+                    self.stats["latency_ms_max"], ms)
+
+        while True:
+            hdr = rfile.read(4)
+            if len(hdr) < 4:
+                break
+            (n,) = struct.unpack(">I", hdr)
+            if n == 0:
+                break
+            data = rfile.read(n)
+            if len(data) < n:
+                break
+            tic = time.perf_counter()
+            try:
+                arr = self._decode(data)
+            except Exception:
+                with self._stats_lock:
+                    self.stats["errors"] += 1
+                # a frame that fails to decode poisons the ordered stream;
+                # drain what's in flight and end the response (the client
+                # sees fewer results than frames and resyncs)
+                break
+            pred_dev, conf_dev = self._dispatch([arr])
+            pending.append((tic, pred_dev, conf_dev))
+            if len(pending) >= depth:
+                drain_one()
+        while pending:
+            drain_one()
+        return served
 
     def metrics(self) -> dict:
         with self._stats_lock:
@@ -307,7 +398,21 @@ def make_handler(segmenter: Segmenter):
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path.split("?", 1)[0] != "/segment":
+            route = self.path.split("?", 1)[0]
+            if route == "/stream":
+                # persistent frame stream: the body is OUR framing, not an
+                # HTTP entity — read rfile directly until the 0-sentinel /
+                # EOF and stream the response as it is produced (no
+                # Content-Length; the connection closes at end-of-stream)
+                self.close_connection = True
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                segmenter.stream(self.rfile, self.wfile,
+                                 scores="scores=dissum" in self.path)
+                return
+            if route != "/segment":
                 self._send(404, b"not found", "text/plain")
                 return
             length = int(self.headers.get("Content-Length", 0))

@@ -273,6 +273,53 @@ def test_quantized_server():
         srv.shutdown()
 
 
+def test_stream_endpoint(server):
+    """POST /stream: 3 frames over ONE socket, length-prefixed in and out;
+    each streamed result must equal the per-request /segment result for
+    the same frame (order + correctness through the pipelined path)."""
+    import socket
+    import struct
+
+    rng = np.random.default_rng(7)
+    frames, singles = [], []
+    for _ in range(3):
+        img = Image.fromarray(rng.integers(0, 255, (40, 64, 3),
+                                           dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        frames.append(buf.getvalue())
+        req = urllib.request.Request(server + "/segment", data=frames[-1],
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            singles.append(np.array(Image.open(io.BytesIO(r.read()))))
+
+    host, port = server.split("//")[1].split(":")
+    with socket.create_connection((host, int(port)), timeout=60) as sock:
+        sock.sendall(b"POST /stream HTTP/1.1\r\n"
+                     b"Host: x\r\nConnection: close\r\n\r\n")
+        for f in frames:
+            sock.sendall(struct.pack(">I", len(f)) + f)
+        sock.sendall(struct.pack(">I", 0))
+
+        raw = b""
+        while True:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            raw += chunk
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n", 1)[0]
+    results = []
+    while body:
+        (n,) = struct.unpack(">I", body[:4])
+        results.append(np.array(Image.open(io.BytesIO(body[4:4 + n]))))
+        body = body[4 + n:]
+    assert len(results) == 3
+    for got, want in zip(results, singles):
+        assert got.shape == (32, 48)
+        assert (got == want).mean() >= 0.99  # batch-tiling tie-flips only
+
+
 def test_metrics_endpoint(server):
     # push one good and one malformed request so counts are self-contained
     img = Image.new("RGB", (48, 32))
