@@ -1,5 +1,6 @@
 from .layers import ConvBN, BNConfig
-from .resnet import ResNet, resnet18, resnet50, resnet101, resnet_deeplab
+from .resnet import (ResNet, resnet18, resnet34, resnet50, resnet101,
+                     resnet_deeplab)
 from .decoders import C1, C1DeepSup, PPM, PPMDeepsup, PPMDeepsupEmbedding, UPerNet
 from .deeplab import (
     ASPP,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import BNConfig
-from .resnet import resnet18, resnet50, resnet101
+from .resnet import resnet18, resnet34, resnet50, resnet101
 from .resnext import resnext101
 from .mobilenet import MobileNetV2Dilated
 from .hrnet import hrnetv2
@@ -41,6 +41,7 @@ class ModelBuilder:
     ENCODER_FC_DIM = {
         "mobilenetv2dilated": 320,
         "resnet18": 512, "resnet18dilated": 512,
+        "resnet34": 512, "resnet34dilated": 512,
         "resnet50": 2048, "resnet50dilated": 2048,
         "resnet101": 2048, "resnet101dilated": 2048,
         "resnext101": 2048,
@@ -68,6 +69,13 @@ class ModelBuilder:
             return resnet18(stem="deep", output_stride=32, **kw)
         if arch == "resnet18dilated":
             return resnet18(stem="deep", output_stride=8, **kw)
+        if arch == "resnet34":
+            # the reference DECLARES these two but raises
+            # NotImplementedError (anomaly/models/models.py:148-155);
+            # the parameterized ResNet makes them free here
+            return resnet34(stem="deep", output_stride=32, **kw)
+        if arch == "resnet34dilated":
+            return resnet34(stem="deep", output_stride=8, **kw)
         if arch == "resnet50":
             return resnet50(stem="deep", output_stride=32, **kw)
         if arch == "resnet50dilated":

@@ -192,6 +192,10 @@ def resnet18(**kw):
     return ResNet(block=BasicBlock, layers=(2, 2, 2, 2), **kw)
 
 
+def resnet34(**kw):
+    return ResNet(block=BasicBlock, layers=(3, 4, 6, 3), **kw)
+
+
 def resnet50(**kw):
     return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), **kw)
 

@@ -30,6 +30,17 @@ def _init_apply(model, x, **kw):
     return model.apply(variables, x, **kw), variables
 
 
+def test_resnet34dilated_feature_pyramid():
+    # the reference registry lists resnet34/resnet34dilated but raises
+    # NotImplementedError (anomaly/models/models.py:148-155); here they
+    # fall out of the parameterized ResNet
+    enc = ModelBuilder.build_encoder("resnet34dilated")
+    x = jnp.zeros((1, 64, 64, 3))
+    outs, _ = _init_apply(enc, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 64), (1, 8, 8, 128), (1, 8, 8, 256), (1, 8, 8, 512)]
+
+
 def test_resnet50dilated_feature_pyramid():
     enc = ModelBuilder.build_encoder("resnet50dilated")
     x = jnp.zeros((1, 64, 64, 3))
