@@ -25,6 +25,7 @@ upsampled (torch align_corners=False parity).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ from flax import linen as nn
 
 from .layers import BNConfig, Conv, ConvBN, kaiming_normal
 from ..ops.pool import adaptive_avg_pool
+from ..ops.ppm_fuse import ppm_fuse_conv
 from ..ops.resize import bilinear_resize
 from ..ops.distance import one_hot_center_logits
 
@@ -97,7 +99,13 @@ class C1DeepSup(nn.Module):
 
 
 class _PPMTrunk(nn.Module):
-    """Pyramid pooling concat: conv5 + (pool->1x1 conv-bn-relu->upsample)xS."""
+    """Pyramid pooling branches: (pool -> 1x1 conv-bn-relu) per scale.
+
+    Returns the pooled maps at their PYRAMID resolutions (k x k); the
+    upsample-to-conv5-size + concat of the reference (models.py:543-556)
+    is deferred to the consumer — `_PPMHead` folds it into the fuse conv
+    algebraically (ops/ppm_fuse.py) and `_ppm_concat` materializes it for
+    the paths that need the literal 4096-d tensor (`ft`, int8 quant)."""
 
     fc_dim: int = 4096
     pool_scales: Sequence[int] = (1, 2, 3, 6)
@@ -108,15 +116,50 @@ class _PPMTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, conv5):
-        size = conv5.shape[-3:-1]
-        outs = [conv5]
+        pools = []
         for i, scale in enumerate(self.pool_scales):
             p = adaptive_avg_pool(conv5, scale)
             p = ConvBN(512, (1, 1), bn=self.bn, train=self.train,
                        dtype=self.dtype, conv_init=kaiming_normal,
                        quant=self.quant, name=f"ppm{i}")(p)
-            outs.append(bilinear_resize(p, size))
-        return jnp.concatenate(outs, axis=-1)
+            pools.append(p)
+        return pools
+
+
+def _ppm_concat(conv5, pools):
+    """Materialized reference dataflow: cat(conv5, upsampled pools)."""
+    size = conv5.shape[-3:-1]
+    return jnp.concatenate(
+        [conv5] + [bilinear_resize(p, size) for p in pools], axis=-1)
+
+
+class PPMFuse(nn.Module):
+    """The fuse conv-bn-relu computed WITHOUT materializing the concat.
+
+    Parameter tree is identical to ``ConvBN(512, (3, 3), name="fuse")``
+    (params ``conv/kernel`` + ``bn/...``) so checkpoints, the converter,
+    and every quant tool see the same structure; only the dataflow
+    differs (ops/ppm_fuse.py: the pooled branches' contribution is
+    computed at pyramid resolution via shifted interpolation matmuls)."""
+
+    features: int = 512
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = DECODER_BN
+
+    @nn.compact
+    def __call__(self, conv5, pools):
+        cin = conv5.shape[-1] + sum(p.shape[-1] for p in pools)
+        kernel = self.variable(
+            "params", "conv",
+            lambda: {"kernel": kaiming_normal(
+                self.make_rng("params"), (3, 3, cin, self.features),
+                jnp.float32)},
+        ).value["kernel"]
+        y = ppm_fuse_conv(conv5, pools, kernel, dtype=self.dtype)
+        y = self.bn.make(not self.train, dtype=self.dtype,
+                         name="bn")(y.astype(self.dtype))
+        return nn.relu(y)
 
 
 class _PPMHead(nn.Module):
@@ -129,13 +172,22 @@ class _PPMHead(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, conv5, pools):
         # the fuse conv is the single largest matmul in the model (fc_dim
         # 4096 -> 512 3x3); the final 1x1 classifier stays in the compute
-        # dtype — score/distance-logit precision feeds the OOD metrics
-        x = ConvBN(512, (3, 3), padding=1, bn=self.bn, train=self.train,
-                   dtype=self.dtype, conv_init=kaiming_normal,
-                   quant=self.quant, name="fuse")(x)
+        # dtype — score/distance-logit precision feeds the OOD metrics.
+        # Default dataflow is the concat-free formulation (PPMFuse); the
+        # int8 path (and OWSS_PPM_FUSE=concat for A/B runs) keeps the
+        # materialized concat + plain ConvBN
+        if self.quant == "off" and os.environ.get(
+                "OWSS_PPM_FUSE") != "concat":
+            x = PPMFuse(512, self.train, self.dtype, self.bn,
+                        name="fuse")(conv5, pools)
+        else:
+            x = ConvBN(512, (3, 3), padding=1, bn=self.bn, train=self.train,
+                       dtype=self.dtype, conv_init=kaiming_normal,
+                       quant=self.quant,
+                       name="fuse")(_ppm_concat(conv5, pools))
         x = nn.Dropout(0.1, deterministic=not self.train, name="drop")(x)
         return Conv(self.num_class, (1, 1), conv_init=kaiming_normal,
                     dtype=self.dtype, name="out")(x)
@@ -155,10 +207,12 @@ class PPM(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
-        x = _PPMTrunk(self.fc_dim, self.pool_scales, self.train, self.dtype,
-                      self.bn, self.quant, name="ppm")(conv_out[-1])
+        conv5 = conv_out[-1]
+        pools = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
+                          self.dtype, self.bn, self.quant,
+                          name="ppm")(conv5)
         x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                     self.quant, name="conv_last")(x)
+                     self.quant, name="conv_last")(conv5, pools)
         x = _maybe_upsample(x, seg_size)
         if self.use_softmax and seg_size is not None:
             x = nn.softmax(x, axis=-1)
@@ -200,16 +254,21 @@ class PPMDeepsup(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
-        ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
-                            self.dtype, self.bn, self.quant,
-                            name="ppm")(conv_out[-1])
+        conv5 = conv_out[-1]
+        pools = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
+                          self.dtype, self.bn, self.quant,
+                          name="ppm")(conv5)
         x = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                     self.quant, name="conv_last")(ppm_out)
+                     self.quant, name="conv_last")(conv5, pools)
+        # ``ft`` is the literal 4096-d concat (rec scoring consumes it) —
+        # the only consumer that still needs the materialized tensor
         if seg_size is not None:
-            return {"scores": bilinear_resize(x, seg_size), "ft": ppm_out}
+            return {"scores": bilinear_resize(x, seg_size),
+                    "ft": _ppm_concat(conv5, pools)}
         ds = _DeepsupBranch(self.num_class, self.fc_dim, self.train,
                             self.dtype, self.bn, name="deepsup")(conv_out[-2])
-        return {"scores": x, "deepsup": ds, "ft": ppm_out}
+        return {"scores": x, "deepsup": ds,
+                "ft": _ppm_concat(conv5, pools)}
 
 
 class PPMDeepsupEmbedding(nn.Module):
@@ -232,21 +291,24 @@ class PPMDeepsupEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None):
-        ppm_out = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
-                            self.dtype, self.bn, self.quant,
-                            name="ppm")(conv_out[-1])
+        conv5 = conv_out[-1]
+        pools = _PPMTrunk(self.fc_dim, self.pool_scales, self.train,
+                          self.dtype, self.bn, self.quant,
+                          name="ppm")(conv5)
         emb = _PPMHead(self.num_class, self.train, self.dtype, self.bn,
-                       self.quant, name="conv_last")(ppm_out)
+                       self.quant, name="conv_last")(conv5, pools)
         scores = one_hot_center_logits(emb, self.magnitude)
         if seg_size is not None:
+            # flagship eval path: ``ft`` is the pre-distance K-dim map, so
+            # the 4096-d concat never materializes at all here
             return {
                 "scores": bilinear_resize(scores, seg_size),
                 "ft": bilinear_resize(emb, seg_size),
             }
         ds = _DeepsupBranch(self.num_class, self.fc_dim, self.train,
                             self.dtype, self.bn, name="deepsup")(conv_out[-2])
-        return {"scores": scores, "deepsup": ds, "ft": ppm_out,
-                "embedding": emb}
+        return {"scores": scores, "deepsup": ds,
+                "ft": _ppm_concat(conv5, pools), "embedding": emb}
 
 
 class UPerNet(nn.Module):

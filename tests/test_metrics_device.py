@@ -133,7 +133,9 @@ def test_device_pyramid_eval_close_to_host(tmp_path):
     and the pyramid is built in-program. Scores deviate from the PIL host
     resample only within resampling tolerance — mIoU/accuracy and OOD
     metrics must land close, and both batched/per-item paths must agree
-    with each other exactly."""
+    with each other to float-reassociation tolerance (the PPM fuse path's
+    interpolation einsums tile differently per batch size, so agreement
+    is ~1e-6, not bitwise as with the pure-conv dataflow)."""
     import os
     import sys
 
@@ -167,7 +169,7 @@ def test_device_pyramid_eval_close_to_host(tmp_path):
     dev_item = run(True, False)
     dev_batch = run(True, True)
     for k in ("auroc", "aupr", "fpr", "mean_iou", "accuracy"):
-        np.testing.assert_allclose(dev_item[k], dev_batch[k], atol=1e-6,
+        np.testing.assert_allclose(dev_item[k], dev_batch[k], atol=1e-5,
                                    err_msg=k)
         # different resampler: close, not equal
         assert abs(dev_item[k] - host[k]) < 0.2, (k, dev_item[k], host[k])

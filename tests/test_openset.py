@@ -149,6 +149,8 @@ def test_evaluator_batched_matches_per_image(tmp_path):
     ev2 = OODEvaluator(model, variables, num_class=13, method="dissum")
     r2 = ev2.evaluate_batched(pipe, batch_size=2)
 
-    assert r1["auroc"] == pytest.approx(r2["auroc"], abs=1e-9)
-    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], abs=1e-7)
-    assert r1["accuracy"] == pytest.approx(r2["accuracy"], abs=1e-7)
+    # ~1e-6, not bitwise: the PPM fuse einsums (ops/ppm_fuse.py) tile
+    # differently per batch size, so scores reassociate slightly
+    assert r1["auroc"] == pytest.approx(r2["auroc"], abs=1e-5)
+    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], abs=1e-5)
+    assert r1["accuracy"] == pytest.approx(r2["accuracy"], abs=1e-5)

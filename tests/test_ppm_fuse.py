@@ -1,0 +1,71 @@
+"""ppm_fuse: pooled-resolution fuse conv vs the materialized-concat path.
+
+The reformulation is exact up to float reassociation (linearity of conv,
+bilinear upsample, and concat); the oracle here IS the materialized path
+(upsample -> concat -> conv), which itself is parity-tested against torch
+in test_reference_parity.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_world_semantic_segmentation_tpu.ops.ppm_fuse import (
+    ppm_fuse_conv, upsampled_conv3x3)
+from open_world_semantic_segmentation_tpu.ops.resize import bilinear_resize
+
+
+def _conv3x3(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("pool,out", [
+    (1, (7, 9)), (2, (8, 8)), (3, (11, 5)), (6, (13, 17)),
+    (6, (4, 3)),  # out smaller than the pooled grid (downsample branch)
+])
+def test_upsampled_conv3x3_matches_materialized(pool, out):
+    rng = np.random.default_rng(pool * 31 + out[0])
+    c, cout = 24, 16
+    p = jnp.asarray(rng.standard_normal((pool, pool, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, cout)) * 0.1, jnp.float32)
+    want = _conv3x3(bilinear_resize(p, out)[None], k)[0]
+    got = upsampled_conv3x3(p, k, out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ppm_fuse_conv_matches_concat_conv():
+    rng = np.random.default_rng(0)
+    n, h, w, c5, cp, cout = 2, 10, 14, 40, 24, 16
+    scales = (1, 2, 3, 6)
+    conv5 = jnp.asarray(rng.standard_normal((n, h, w, c5)), jnp.float32)
+    pools = [jnp.asarray(rng.standard_normal((n, s, s, cp)), jnp.float32)
+             for s in scales]
+    ctot = c5 + cp * len(scales)
+    k = jnp.asarray(rng.standard_normal((3, 3, ctot, cout)) * 0.1,
+                    jnp.float32)
+    cat = jnp.concatenate(
+        [conv5] + [bilinear_resize(p, (h, w)) for p in pools], axis=-1)
+    want = _conv3x3(cat, k)
+    got = ppm_fuse_conv(conv5, pools, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ppm_fuse_conv_jits_and_grads():
+    # the fuse path runs inside the training step too: grads must flow
+    rng = np.random.default_rng(1)
+    conv5 = jnp.asarray(rng.standard_normal((1, 6, 6, 8)), jnp.float32)
+    pools = [jnp.asarray(rng.standard_normal((1, s, s, 4)), jnp.float32)
+             for s in (1, 2)]
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 5)) * 0.1, jnp.float32)
+
+    def loss(k):
+        return jnp.sum(ppm_fuse_conv(conv5, pools, k) ** 2)
+
+    g = jax.jit(jax.grad(loss))(k)
+    assert g.shape == k.shape and bool(jnp.all(jnp.isfinite(g)))
