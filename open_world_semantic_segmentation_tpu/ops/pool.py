@@ -6,9 +6,14 @@ ceil((i+1)*N/S)). The PPM decoder pools conv5 (H/8 x W/8, arbitrary size) to
 scales (1, 2, 3, 6) — bins are uneven whenever 8∤H, and parity here is what
 keeps converted checkpoints bit-comparable.
 
-Implementation: separable cumulative-sum (integral image) differencing with
-trace-time-constant bin edges — O(N) regardless of bin count, no dynamic
-shapes, fuses into the surrounding graph.
+Implementation: separable matmuls against trace-time-constant bin-average
+matrices (S x N, entries 1/count inside each bin). Static shapes, MXU
+execution, and — the property that matters under pjit — when the pooled
+axis is sharded across a mesh, GSPMD lowers the contraction to a local
+partial dot + all-reduce. (The previous cumsum + concat + gather
+formulation made GSPMD emit all-to-alls for the PPM pooling of a
+spatially-sharded conv5, which the CPU backend's rendezvous deadlocks on;
+an integral image also buys nothing here since out_size <= 6.)
 """
 
 from __future__ import annotations
@@ -28,22 +33,25 @@ def _bin_edges(in_size: int, out_size: int):
     return starts.astype(np.int32), ends.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(in_size: int, out_size: int):
+    """(out, in) f32: row i averages input rows [start_i, end_i)."""
+    starts, ends = _bin_edges(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        m[i, s:e] = 1.0 / (e - s)
+    return m
+
+
 def _pool_axis(x, out_size: int, axis: int):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    starts, ends = _bin_edges(in_size, out_size)
-    # integral along axis with a leading zero: csum[k] = sum(x[:k])
-    csum = jnp.cumsum(x, axis=axis)
-    zero_shape = list(x.shape)
-    zero_shape[axis] = 1
-    csum = jnp.concatenate([jnp.zeros(zero_shape, x.dtype), csum], axis=axis)
-    hi = jnp.take(csum, jnp.asarray(ends), axis=axis)
-    lo = jnp.take(csum, jnp.asarray(starts), axis=axis)
-    counts = (ends - starts).astype(np.float32)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    return (hi - lo) / jnp.asarray(counts, dtype=x.dtype).reshape(shape)
+    m = jnp.asarray(_pool_matrix(in_size, out_size), x.dtype)
+    x = jnp.moveaxis(x, axis, -1)
+    x = jnp.einsum("...n,sn->...s", x, m,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.moveaxis(x, -1, axis)
 
 
 def adaptive_avg_pool(x, output_size):

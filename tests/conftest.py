@@ -17,8 +17,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate" not in flags:
+    # 8 virtual devices timeslice one core: the CPU backend's rendezvous
+    # deadlock heuristic (warn 20 s / kill 40 s) fires spuriously when a
+    # shard's pre-collective work straggles. Raise the detection
+    # thresholds — they are not correctness knobs.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
