@@ -31,10 +31,11 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None,
          batch_images: int = 1, device_metrics: bool = False,
          device_pyramid: bool = False, quant: str = "off",
          calib_images: int = 4):
-    """``quant``: opt-in int8 PTQ inference ("int8"/"int8-3x3",
-    ops/quant.py) — activation scales are calibrated on the first
-    ``calib_images`` val images before evaluation. "off" (default) is the
-    reference-parity path."""
+    """``quant``: opt-in int8 PTQ inference ("int8"/"int8-hybrid"/
+    "int8-3x3", ops/quant.py) — activation scales are calibrated on the
+    first ``calib_images`` val images before evaluation. "off" (default)
+    is the reference-parity path; "int8-hybrid" (int8 backbone +
+    concat-free bf16 fuse head) is the fastest measured policy."""
     model = build_anomaly_model(cfg, train=False, use_softmax=True,
                                 dtype=precision_dtype, quant=quant)
     example = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -106,7 +107,8 @@ def _entry():
                         help="compute AUROC/AUPR/FPR on-chip (fast path; "
                              "the host f64 sweep is the parity default)")
     parser.add_argument("--quant",
-                        choices=["off", "int8", "int8-3x3", "w4a8"],
+                        choices=["off", "int8", "int8-hybrid",
+                                 "int8-3x3", "w4a8"],
                         default="off",
                         help="opt-in PTQ inference (ops/quant.py): int8 "
                              "activations+weights, or w4a8 (int4 weights); "

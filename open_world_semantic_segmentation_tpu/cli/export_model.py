@@ -125,7 +125,8 @@ def _entry():
                         help="lowering targets (e.g. tpu cpu); default = "
                              "current backend")
     parser.add_argument("--out", default="model.owss")
-    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+    parser.add_argument("--quant", choices=["off", "int8", "int8-hybrid",
+                                          "int8-3x3"],
                         default="off",
                         help="export with int8 PTQ weights/activations")
     parser.add_argument("--calib-glob", default=None,

@@ -461,7 +461,8 @@ def main(argv=None):
                              "device dispatch (1 = off)")
     parser.add_argument("--batch-wait-ms", type=float, default=5.0,
                         help="max time to wait for a batch to fill")
-    parser.add_argument("--quant", choices=["off", "int8", "int8-3x3"],
+    parser.add_argument("--quant", choices=["off", "int8", "int8-hybrid",
+                                          "int8-3x3"],
                         default="off",
                         help="opt-in int8 PTQ inference (ops/quant.py)")
     parser.add_argument("--calib-glob", default=None,

@@ -140,7 +140,13 @@ class PPMFuse(nn.Module):
     (params ``conv/kernel`` + ``bn/...``) so checkpoints, the converter,
     and every quant tool see the same structure; only the dataflow
     differs (ops/ppm_fuse.py: the pooled branches' contribution is
-    computed at pyramid resolution via shifted interpolation matmuls)."""
+    computed at pyramid resolution via shifted interpolation matmuls).
+
+    Under ``int8-hybrid`` a prequantized tree stores this kernel as int8
+    with its per-output-channel ``w_scale``; the dequantization is exact
+    and free — the scale commutes with the conv's in-channel/spatial
+    reduction, so it is applied to the conv OUTPUT and the kernel stays
+    1-byte in HBM."""
 
     features: int = 512
     train: bool = False
@@ -157,6 +163,11 @@ class PPMFuse(nn.Module):
                 jnp.float32)},
         ).value["kernel"]
         y = ppm_fuse_conv(conv5, pools, kernel, dtype=self.dtype)
+        if kernel.dtype == jnp.int8:
+            s_w = self.variable(
+                "quant", "w_scale",
+                lambda: jnp.ones((self.features,), jnp.float32)).value
+            y = y * s_w
         y = self.bn.make(not self.train, dtype=self.dtype,
                          name="bn")(y.astype(self.dtype))
         return nn.relu(y)
@@ -177,10 +188,16 @@ class _PPMHead(nn.Module):
         # 4096 -> 512 3x3); the final 1x1 classifier stays in the compute
         # dtype — score/distance-logit precision feeds the OOD metrics.
         # Default dataflow is the concat-free formulation (PPMFuse); the
-        # int8 path (and OWSS_PPM_FUSE=concat for A/B runs) keeps the
-        # materialized concat + plain ConvBN
-        if self.quant == "off" and os.environ.get(
-                "OWSS_PPM_FUSE") != "concat":
+        # classic int8 path (and OWSS_PPM_FUSE=concat for A/B runs) keeps
+        # the materialized concat + plain ConvBN. "int8-hybrid" is the
+        # fastest measured policy (docs/DESIGN.md round 3): int8 backbone
+        # + PPM branches, concat-free fuse (int8 weights dequantized
+        # exactly via the post-conv w_scale; activations bf16).
+        # OWSS_PPM_FUSE=force keeps the old env-var spelling of the same
+        # split for A/B runs.
+        impl = os.environ.get("OWSS_PPM_FUSE")
+        if ((self.quant in ("off", "int8-hybrid") and impl != "concat")
+                or impl == "force"):
             x = PPMFuse(512, self.train, self.dtype, self.bn,
                         name="fuse")(conv5, pools)
         else:

@@ -79,6 +79,10 @@ class ConvBN(nn.Module):
                 bottleneck convs are bandwidth-bound and the requant chain
                 costs more than the MXU saves (tools/probe_int8.py), while
                 3x3 convs gain 1.2-1.5x.
+    - "int8-hybrid" — identical to "int8" at the ConvBN level; the PPM
+                decoder keeps its fuse conv on the concat-free bf16
+                PPMFuse dataflow (models/decoders.py) — the fastest
+                measured PSPNet eval policy (docs/DESIGN.md round 3).
     """
 
     features: int
@@ -104,6 +108,8 @@ class ConvBN(nn.Module):
         quant = self.quant
         if quant == "int8-3x3":
             quant = "int8" if tuple(self.kernel_size) != (1, 1) else "off"
+        elif quant == "int8-hybrid":
+            quant = "int8"  # the hybrid split lives in the PPM decoder
         if quant in ("calib", "int8", "w4a8"):
             x = self._quantized_conv(x, pad, quant)
         elif self._use_shift_dilated(pad):

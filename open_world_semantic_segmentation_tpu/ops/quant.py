@@ -90,7 +90,10 @@ def prequantize(variables, mode: str = "int8"):
     which would consume a raw int8 kernel without dequantizing — so their
     kernels must stay fp32. ``mode="w4a8"`` stores int4 weight tensors
     instead of int8 (eval model still runs with ``quant="int8"`` — the
-    layer upcasts int4 kernels in-program).
+    layer upcasts int4 kernels in-program). ``mode="int8-hybrid"``
+    quantizes the same layer set as "int8" — the PPM fuse conv consumer
+    (``models/decoders.py PPMFuse``) dequantizes its int8 kernel exactly
+    by applying the per-channel scale after the conv.
     """
     import jax
 

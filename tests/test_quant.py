@@ -178,6 +178,42 @@ def test_prequantized_int8_3x3_keeps_1x1_fp(tiny_setup):
     assert (s_off.argmax(-1) == s_pre.argmax(-1)).mean() > 0.9
 
 
+def test_int8_hybrid_forward_and_prequantize(tiny_setup):
+    """quant='int8-hybrid': int8 backbone + PPM branches, concat-free
+    PPMFuse head. Inline (fp32 fuse kernel) must track the fp path; the
+    prequantized tree stores the fuse kernel int8 and PPMFuse dequantizes
+    it exactly (per-channel scale applied after the conv), so the
+    prequantized output stays close to inline (fuse weight quantization
+    is the only difference)."""
+    kw, x, v, v_cal, s_off = tiny_setup
+    m_h = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", quant="int8-hybrid",
+        **kw)
+    # param tree identical to the normal model: checkpoints load unchanged
+    v_h = m_h.init(jax.random.PRNGKey(0), x)
+    paths = {jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(v["params"])[0]}
+    paths_h = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(v_h["params"])[0]}
+    assert paths == paths_h
+
+    out_inline = m_h.apply(v_cal, x, seg_size=(48, 48))
+    s_in = np.asarray(out_inline["scores"][0], np.float32)
+    agree = (s_off.argmax(-1) == s_in.argmax(-1)).mean()
+    assert agree > 0.9, f"hybrid argmax agreement vs fp: {agree}"
+
+    v_pre = prequantize(v_cal, mode="int8-hybrid")
+    fuse_kernel = v_pre["params"]["decoder"]["conv_last"]["fuse"]["conv"][
+        "kernel"]
+    assert fuse_kernel.dtype == jnp.int8
+    out_pre = m_h.apply(v_pre, x, seg_size=(48, 48))
+    s_pre = np.asarray(out_pre["scores"][0], np.float32)
+    # only the fuse weights differ (int8 per-channel); outputs stay close
+    rel = np.abs(s_pre - s_in).max() / np.abs(s_in).max()
+    assert rel < 0.05, f"hybrid prequant vs inline rel err {rel}"
+    assert (s_off.argmax(-1) == s_pre.argmax(-1)).mean() > 0.9
+
+
 def test_prequantize_requires_calibration(tiny_setup):
     kw, x, v, _, _ = tiny_setup
     with pytest.raises(ValueError):

@@ -66,9 +66,11 @@ def test_int8_metric_drift_on_trained_weights(trained_ckpt):
     r_fp = _eval(cfg, ckpt, "off")
     r_q = _eval(cfg, ckpt, "int8")
     r_q3 = _eval(cfg, ckpt, "int8-3x3")
+    r_qh = _eval(cfg, ckpt, "int8-hybrid")
 
     assert r_fp["auroc"] is not None
-    for name, r in (("int8", r_q), ("int8-3x3", r_q3)):
+    for name, r in (("int8", r_q), ("int8-3x3", r_q3),
+                    ("int8-hybrid", r_qh)):
         d_auroc = abs(r["auroc"] - r_fp["auroc"])
         d_aupr = abs(r["aupr"] - r_fp["aupr"])
         d_miou = abs(r["mean_iou"] - r_fp["mean_iou"])
