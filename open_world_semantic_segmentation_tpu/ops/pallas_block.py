@@ -171,8 +171,18 @@ def _block_kernel(x_hbm, w1, b1, w2, b2, w3, b3, wd, bd, out_ref,
     # reproducing conv zero-padding).  Row taps: free dim-0 slices.
     acc = jnp.broadcast_to(b2[...], (tile_h * wp, cmid)).astype(jnp.float32)
     y1_all = y1_ring[...]
+
+    def _roll_cols(v, shift):
+        # Mosaic's tpu.dynamic_rotate only handles 32-bit element types
+        # (bf16 packs two values per sublane word, and sub-word shuffles
+        # along the sublane axis aren't implemented) — round-trip through
+        # f32 for the rotate; bf16->f32->bf16 is value-preserving.
+        if jnp.dtype(v.dtype).itemsize == 4:
+            return pltpu.roll(v, shift, 1)
+        return pltpu.roll(v.astype(jnp.float32), shift, 1).astype(v.dtype)
+
     for jdx, dw in enumerate((-d, 0, d)):
-        rolled = pltpu.roll(y1_all, (-dw) % wp, 1) if dw else y1_all
+        rolled = _roll_cols(y1_all, (-dw) % wp) if dw else y1_all
         for idx, dh in enumerate((-d, 0, d)):
             tap = rolled[d + dh:d + dh + tile_h]       # rows of the window
             acc = acc + jax.lax.dot_general(
