@@ -129,6 +129,13 @@ class FewshotConfig:
     variant: str = "plm_all"  # plm_all | plm_latest | npm | all17 | first16
     npm_dis_threshold: float = -1.5  # test_embedding.py:445
     novel_label_from_zero: bool = True  # labels==0 -> 16+i (train, :558)
+    # GMM/ECDF score calibration (the reference's dormant design,
+    # main_embedding.py:175-226, implemented in openset/calibration.py)
+    calibrate_scores: bool = False
+    calib_images: int = 20       # collection-pass image budget
+    calib_mode: str = "step"     # step (active line) | sigmoid (commented)
+    calib_rate: int = 500        # per-class 1/rate pixel subsampling
+    calib_save: str = ""         # optional .npz path for the fitted state
 
 
 @dataclass

@@ -11,6 +11,13 @@ from .scoring import (
     compute_conf,
     SCORING_METHODS,
 )
+from .calibration import (
+    ScoreCalibration,
+    collect_dissum_samples,
+    fit_gmm2_1d,
+    ecdf_eval,
+    certainty,
+)
 from .crf import bilateral_crf_conf, gaussian_crf_conf
 from .evaluator import OODEvaluator, multi_scale_forward
 from .fishyscapes import make_estimator, run_bdlb

@@ -220,6 +220,36 @@ def test_extract_prototypes_and_npm_eval(cs_root, tmp_path, capsys):
     assert 0.0 <= score["Mean IoU"] <= 1.0
 
 
+def test_eval_embedding_calibrated_scores(cs_root, tmp_path, capsys):
+    """GMM/ECDF score calibration end to end (the reference's dormant
+    main_embedding.py:175-226 design as a working opt-in): collection pass
+    -> per-class fit -> calibrated OOD measures + saved .npz state."""
+    from open_world_semantic_segmentation_tpu.cli import (
+        extract_prototypes, eval_embedding)
+    from open_world_semantic_segmentation_tpu.openset import ScoreCalibration
+
+    cfg = _deeplab_cfg(cs_root, tmp_path)
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet101"
+    cfg.FEWSHOT.shots = 2
+    cfg.FEWSHOT.prototype_file = str(tmp_path / "prototype_car_2_shot.json")
+    extract_prototypes.main(cfg, jnp.float32, novel_true_id=13)
+
+    cfg.FEWSHOT.calibrate_scores = True
+    cfg.FEWSHOT.calib_images = 2
+    cfg.FEWSHOT.calib_rate = 1  # tiny images: keep every agreeing pixel
+    cfg.FEWSHOT.calib_save = str(tmp_path / "calib.npz")
+    score = eval_embedding.main(cfg, jnp.float32, max_images=2)
+    assert 0.0 <= score["Mean IoU"] <= 1.0
+    # the synthetic val tree guarantees unknown (255) pixels, so the
+    # calibrated OOD measures must have been computed and printed
+    assert "calib_auroc" in score
+    assert 0.0 <= score["calib_auroc"] <= 1.0
+    out = capsys.readouterr().out
+    assert "calibrated-score OOD" in out
+    back = ScoreCalibration.load(cfg.FEWSHOT.calib_save)
+    assert back.num_classes == 16
+
+
 def test_make_odgt_streethazards(sh_root, tmp_path):
     from open_world_semantic_segmentation_tpu.cli import make_odgt
 
