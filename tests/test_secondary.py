@@ -352,3 +352,41 @@ def test_rec_combine_matches_reference_formula(exclude_back):
     np.testing.assert_allclose(np.asarray(conf), conf_ref.numpy(),
                                atol=2e-6, rtol=1e-5)
     assert (np.asarray(pred) == pred_ref.squeeze(0).numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# t-SNE prototype plot tool (the reference's commented block,
+# test_embedding.py:291-324, as an explicit tool)
+# ---------------------------------------------------------------------------
+
+def test_plot_prototypes_tool(tmp_path):
+    import json
+
+    import plot_prototypes as pp
+
+    # center rows: one-hot * 3 with the 13-15 -> 16-18 display-label shift
+    centers, labels = pp.build_center_rows(16, 3.0)
+    assert centers.shape == (16, 16) and centers.max() == 3.0
+    assert list(labels[:13]) == list(range(13))
+    assert list(labels[13:]) == [16, 17, 18]
+
+    rng = np.random.default_rng(0)
+    # flat (single-class) format
+    flat = str(tmp_path / "flat.json")
+    with open(flat, "w") as f:
+        json.dump(rng.normal(size=(4, 16)).tolist(), f)
+    pts, pls = pp.load_prototype_points(flat, 16)
+    assert pts.shape == (4, 16) and (pls == 16).all()
+
+    # per-class list format (prototype_ood.json layout)
+    nested = str(tmp_path / "nested.json")
+    with open(nested, "w") as f:
+        json.dump([rng.normal(size=(3, 16)).tolist(), [],
+                   rng.normal(size=(2, 16)).tolist()], f)
+    pts2, pls2 = pp.load_prototype_points(nested, 16)
+    assert pts2.shape == (5, 16)
+    assert (pls2 == np.array([0, 0, 0, 2, 2])).all()
+
+    out = pp.main([flat, "--out", str(tmp_path / "imgs" / "tsne.jpg"),
+                   "--perplexity", "5"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
