@@ -97,6 +97,52 @@ def upsampled_conv3x3(p, kernel, out_size, *, dtype=None):
     return out[0] if unbatched else out
 
 
+@jax.custom_vjp
+def _conv3x3_f32out(x, w):
+    """3x3 same-padding NHWC conv with f32 accumulation output.
+
+    jax 0.9's conv transpose rule cannot mix the f32 cotangent of a
+    ``preferred_element_type=f32`` conv with bf16 operands (repro: grad
+    of such a conv raises "requires arguments to have the same dtypes");
+    dot_general handles the same situation by computing gradients in the
+    operand dtype. This custom VJP gives the conv the dot_general
+    convention: exact f32-accumulate forward, gradients in the operand
+    dtypes (for f32 operands it is bit-identical to jax's own autodiff —
+    asserted in tests/test_ppm_fuse.py).
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _conv3x3_fwd(x, w):
+    return _conv3x3_f32out(x, w), (x, w)
+
+
+def _conv3x3_bwd(res, g):
+    x, w = res
+    gc = g.astype(jnp.result_type(x.dtype, w.dtype))
+    # dL/dx = full correlation with the kernel flipped and io swapped
+    wt = w[::-1, ::-1].swapaxes(2, 3).astype(gc.dtype)
+    gx = jax.lax.conv_general_dilated(
+        gc, wt, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    # dL/dw[di,dj,ci,co] = sum_{n,i,j} x[n,i+di-1,j+dj-1,ci] g[n,i,j,co]:
+    # a conv with batch and feature roles swapped (kernel = the cotangent)
+    gw = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0).astype(gc.dtype),   # (Cin, H, W, N)
+        gc.transpose(1, 2, 0, 3),                    # (H, W, N, Cout)
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)          # (Cin, 3, 3, Cout)
+    return gx, gw.transpose(1, 2, 0, 3).astype(w.dtype)
+
+
+_conv3x3_f32out.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
 def ppm_fuse_conv(conv5, pools, kernel, *, dtype=None):
     """3x3 same-padding conv of cat([conv5] + upsampled pools) without the
     concat.
@@ -109,10 +155,7 @@ def ppm_fuse_conv(conv5, pools, kernel, *, dtype=None):
     """
     n, h, w, c5 = conv5.shape
     cdt = dtype or conv5.dtype
-    y = jax.lax.conv_general_dilated(
-        conv5.astype(cdt), kernel[:, :, :c5].astype(cdt), (1, 1),
-        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    y = _conv3x3_f32out(conv5.astype(cdt), kernel[:, :, :c5].astype(cdt))
     off = c5
     for p in pools:
         cp = p.shape[-1]

@@ -32,10 +32,21 @@ import jax.numpy as jnp
 
 def _gather_logit(logits, labels):
     """logits (..., C), labels (...) -> logit at the label index (labels
-    clipped so ignore values index safely; mask separately)."""
+    clipped so ignore values index safely; mask separately).
+
+    Formulated as a one-hot select-and-sum rather than
+    ``jnp.take_along_axis``: per-pixel gathers along the minor (lane)
+    dimension serialize on TPU — the round-3 trace of the
+    self-distillation train step showed the gather fusion alone at 49%
+    of the whole step (45.8 ms for 2.9M pixels). The masked sum is
+    bit-exact (the selected logit is returned unchanged; non-selected
+    lanes contribute exact zeros, and ``where`` keeps NaN/inf logits in
+    dead lanes from polluting the result) and its VJP is an elementwise
+    mask-broadcast instead of a scatter."""
     c = logits.shape[-1]
     safe = jnp.clip(labels, 0, c - 1)
-    return jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    onehot = safe[..., None] == jnp.arange(c, dtype=safe.dtype)
+    return jnp.sum(jnp.where(onehot, logits, 0), axis=-1)
 
 
 def cross_entropy(logits, labels, ignore_index: int = -1):

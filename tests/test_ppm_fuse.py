@@ -69,3 +69,54 @@ def test_ppm_fuse_conv_jits_and_grads():
 
     g = jax.jit(jax.grad(loss))(k)
     assert g.shape == k.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_conv3x3_custom_vjp_matches_autodiff_f32():
+    """_conv3x3_f32out's hand-written VJP == jax autodiff (f32, where the
+    builtin transpose rule works)."""
+    from open_world_semantic_segmentation_tpu.ops.ppm_fuse import (
+        _conv3x3_f32out)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 12)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 12, 6)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, 9, 11, 6)), jnp.float32)
+
+    def loss_custom(x, w):
+        return jnp.sum(_conv3x3_f32out(x, w) * t)
+
+    def loss_raw(x, w):
+        return jnp.sum(_conv3x3(x, w) * t)
+
+    gx, gw = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    gx0, gw0 = jax.grad(loss_raw, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ppm_fuse_conv_grads_in_bf16():
+    """Regression: jax 0.9's conv transpose rejects the f32 cotangent of a
+    bf16 conv with preferred_element_type=f32 — bf16 *training* through the
+    fuse path crashed until the custom VJP. Grads must exist, be finite,
+    and track the f32 gradients within bf16 tolerance."""
+    rng = np.random.default_rng(3)
+    conv5 = rng.standard_normal((1, 6, 6, 8))
+    pools_np = [rng.standard_normal((1, s, s, 4)) for s in (1, 2)]
+    k = rng.standard_normal((3, 3, 16, 5)) * 0.1
+
+    def loss(k, conv5, pools, dt):
+        y = ppm_fuse_conv(jnp.asarray(conv5, dt),
+                          [jnp.asarray(p, dt) for p in pools],
+                          jnp.asarray(k, dt))
+        return jnp.sum(y ** 2)
+
+    g_bf16 = jax.jit(jax.grad(loss), static_argnums=3)(
+        jnp.asarray(k, jnp.bfloat16), conv5, pools_np, jnp.bfloat16)
+    g_f32 = jax.jit(jax.grad(loss), static_argnums=3)(
+        jnp.asarray(k, jnp.float32), conv5, pools_np, jnp.float32)
+    assert g_bf16.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(g_bf16.astype(jnp.float32))))
+    np.testing.assert_allclose(np.asarray(g_bf16, np.float32),
+                               np.asarray(g_f32), rtol=0.1, atol=0.3)

@@ -127,6 +127,34 @@ def test_anomaly_train_step_decreases_loss():
     assert int(state.step) == 5
 
 
+def test_anomaly_train_step_bf16_flagship_decoder():
+    """Regression: bf16 training through the concat-free PPM fuse path
+    crashed (jax 0.9 conv transpose rejects the f32 cotangent of a bf16
+    preferred_element_type=f32 conv) until ops/ppm_fuse grew a custom
+    VJP. One bf16 step on the flagship decoder must run and stay finite."""
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13,
+        train=True, dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = torch_sgd(poly_schedule(0.02, 100), momentum=0.9, weight_decay=1e-4)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    step = make_anomaly_train_step(model)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img_data": jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3)).astype(np.float32)),
+        "seg_label": jnp.asarray(rng.integers(-1, 13, (2, 4, 4))),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_checkpoint_roundtrip_and_partial(tmp_path):
     state = {"a": {"kernel": jnp.arange(6.0).reshape(2, 3)},
              "b": {"bias": jnp.ones(4)}}
