@@ -68,14 +68,15 @@ def main(batch=8, h=304, w=536, windows=4, window=10):
     }
     for _ in range(2):
         state, metrics = step_fn(state, batch_np)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # true sync: scalar readback (axon gotcha:
+    # block_until_ready returns before execution finishes over the tunnel)
 
     times = []
     for _ in range(windows):
         tic = time.perf_counter()
         for _ in range(window):
             state, metrics = step_fn(state, batch_np)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # one readback per window
         times.append((time.perf_counter() - tic) / window)
     best = min(times)
     print(json.dumps({
