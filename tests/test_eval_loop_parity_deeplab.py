@@ -1,0 +1,293 @@
+"""End-to-end eval-loop parity for the Cityscapes NPM flow: the reference's
+OWN ``validate`` (DeepLabV3Plus-Pytorch/test_embedding.py:225-653) imported
+and run on CPU vs ``cli.eval_embedding.main`` — identical synthetic
+Cityscapes images on disk, identical converted random weights, identical
+5-shot prototype JSON, asserting per-image prediction maps (incl. the NPM
+override firing), remapped labels, and the accumulated StreamSegMetrics
+results. Companion to tests/test_eval_loop_parity.py (which proves the
+anomaly-side evaluate loop); together they close the "metric parity likely
+but unproven" seam for BOTH reference stacks without the published
+checkpoints (zero egress — NEXT.md #1).
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REF = "/root/reference/DeepLabV3Plus-Pytorch"
+pytestmark = [
+    pytest.mark.e2e,
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference repo not mounted"),
+]
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from open_world_semantic_segmentation_tpu.core.config import Config  # noqa: E402
+from open_world_semantic_segmentation_tpu.metrics import StreamSegMetrics  # noqa: E402
+from open_world_semantic_segmentation_tpu.train.convert import (  # noqa: E402
+    convert_deeplab_checkpoint,
+)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_synthetic_data import make_cityscapes  # noqa: E402
+
+H, W = 96, 192
+NCLS = 16  # reference sets opts.num_classes = 16 (test_embedding.py:661)
+
+# generic top-level names the two reference trees and their stubs fight
+# over; purged before import and restored from a snapshot afterwards
+_COLLIDING = ("utils", "datasets", "metrics", "network", "models",
+              "dataset", "config", "test_embedding", "torchvision",
+              "visdom")
+
+
+def _stub_modules():
+    """visdom + a torchvision stub whose ``transforms.functional`` carries
+    REAL ``to_tensor``/``normalize`` — the reference val transform
+    (ExtToTensor + ExtNormalize, test_embedding.py:210-214) computes through
+    them, so their math must be exact, not a no-op."""
+    vd = types.ModuleType("visdom")
+    vd.Visdom = object
+    sys.modules["visdom"] = vd
+
+    sme = types.ModuleType("statsmodels.distributions.empirical_distribution")
+    sme.ECDF = object
+    smd = types.ModuleType("statsmodels.distributions")
+    smd.empirical_distribution = sme
+    sm = types.ModuleType("statsmodels")
+    sm.distributions = smd
+    sys.modules["statsmodels"] = sm
+    sys.modules["statsmodels.distributions"] = smd
+    sys.modules["statsmodels.distributions.empirical_distribution"] = sme
+
+    def to_tensor(pic):
+        arr = np.array(pic, np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1))
+
+    def normalize(tensor, mean, std):
+        mean_t = torch.tensor(mean, dtype=tensor.dtype).view(-1, 1, 1)
+        std_t = torch.tensor(std, dtype=tensor.dtype).view(-1, 1, 1)
+        return (tensor - mean_t) / std_t
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvmu = types.ModuleType("torchvision.models.utils")
+    tvmu.load_state_dict_from_url = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("no downloads in tests"))
+    tvt = types.ModuleType("torchvision.transforms")
+    tvf = types.ModuleType("torchvision.transforms.functional")
+    tvf.to_tensor = to_tensor
+    tvf.normalize = normalize
+    tvd = types.ModuleType("torchvision.datasets")
+    tvdu = types.ModuleType("torchvision.datasets.utils")
+    tvdu.download_url = lambda *a, **k: None
+    tvdu.check_integrity = lambda *a, **k: False
+    tv.models, tvm.utils = tvm, tvmu
+    tv.transforms, tvt.functional = tvt, tvf
+    tv.datasets, tvd.utils = tvd, tvdu
+    for name, mod in (("torchvision", tv), ("torchvision.models", tvm),
+                      ("torchvision.models.utils", tvmu),
+                      ("torchvision.transforms", tvt),
+                      ("torchvision.transforms.functional", tvf),
+                      ("torchvision.datasets", tvd),
+                      ("torchvision.datasets.utils", tvdu)):
+        sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def ref_te():
+    """Import /root/reference/DeepLabV3Plus-Pytorch/test_embedding.py on CPU,
+    isolated: module/path snapshots restored at teardown so the anomaly-side
+    reference tests (whose tree reuses the same generic module names) are
+    unaffected by ordering."""
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    snap_mod = dict(sys.modules)
+    snap_path = list(sys.path)
+    orig_tensor_cuda = torch.Tensor.cuda
+    orig_module_cuda = torch.nn.Module.cuda
+
+    def _restore():
+        for k in set(sys.modules) - set(snap_mod):
+            sys.modules.pop(k, None)
+        for k, v in snap_mod.items():
+            if sys.modules.get(k) is not v:
+                sys.modules[k] = v
+        sys.path[:] = snap_path
+        torch.Tensor.cuda = orig_tensor_cuda
+        torch.nn.Module.cuda = orig_module_cuda
+
+    for name in list(sys.modules):
+        if name.split(".")[0] in _COLLIDING:
+            del sys.modules[name]
+    _stub_modules()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REF)
+    try:
+        import test_embedding as m
+    except Exception as e:  # pragma: no cover - env-dependent
+        _restore()
+        pytest.skip(f"cannot import reference test_embedding: {e}")
+    yield m
+    _restore()
+
+
+@pytest.fixture(scope="module")
+def models_and_data(ref_te, tmp_path_factory):
+    """Reference torch embedding model + converted flax twin + a tiny
+    Cityscapes tree + a 5-shot prototype extracted the reference way
+    (mean features over GT-car pixels, test_embedding.py:413-425)."""
+    torch.manual_seed(0)
+    model_t = ref_te.network.deeplabv3plus_embedding_resnet101(
+        num_classes=NCLS, output_stride=16, pretrained_backbone=False)
+    model_t.eval()
+
+    tmp = tmp_path_factory.mktemp("npm_parity")
+    cs_root = make_cityscapes(str(tmp / "cs"), splits=("val",), n=2,
+                              h=H, w=W)
+
+    # at random init the embedding magnitudes are ~1e5, so the distance
+    # logits are ~1e10 with class gaps only ~1e-5 RELATIVE — every argmax is
+    # a knife edge and torch-vs-XLA reassociation flips ~0.7% of pixels.
+    # Rescale the final head conv so features sit at the trained-DML regime
+    # (O(magnitude 3), where class gaps are O(1)) — same trick as the
+    # anomaly-side loop test's decoder scaling. Probe with a REAL val image
+    # (a zeros probe reads tiny activations and scales the head UP).
+    probe_img = Image.open(sorted(
+        (p for p in (os.path.join(dp, f)
+                     for dp, _, fs in os.walk(cs_root) for f in fs)
+         if p.endswith("_leftImg8bit.png")))[0]).convert("RGB")
+    probe = torch.from_numpy(
+        (np.array(probe_img, np.float32) / 255.0 - 0.45) / 0.225
+    ).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        _, _, f_probe = model_t(probe)
+        feat_scale = float(f_probe.abs().max())
+        last_conv = [mod for mod in model_t.modules()
+                     if isinstance(mod, torch.nn.Conv2d)
+                     and mod.out_channels == NCLS][-1]
+        last_conv.weight.mul_(3.0 / feat_scale)
+        if last_conv.bias is not None:
+            last_conv.bias.mul_(3.0 / feat_scale)
+
+    val_tf = ref_te.et.ExtCompose([
+        ref_te.et.ExtToTensor(),
+        ref_te.et.ExtNormalize(mean=[0.485, 0.456, 0.406],
+                               std=[0.229, 0.224, 0.225]),
+    ])
+    ds = ref_te.Cityscapes(root=cs_root, split="val", transform=val_tf)
+    # encode_target returns numpy; the reference's DataLoader default_collate
+    # would tensorize — do the same for this list-backed loader
+    loader = [(img[None], torch.as_tensor(np.array(lab))[None],
+               torch.as_tensor(np.array(lab_true))[None])
+              for img, lab, lab_true in (ds[i] for i in range(len(ds)))]
+
+    # 5-shot prototype from image 0's GT-car pixels so the NPM override
+    # actually fires (a random prototype sits far from every feature and
+    # the dis_ood > -1.5 branch would never trigger)
+    img0, _, lab_true0 = loader[0]
+    with torch.no_grad():
+        _, _, feats = model_t(img0)
+    ys, xs = np.nonzero(lab_true0[0].numpy() == 13)
+    assert len(ys) >= 5, "synthetic tree must contain car pixels"
+    shots = [feats[0, ys[i], xs[i]].numpy().tolist() for i in range(5)]
+    proto_path = str(tmp / "prototype_car_5_shot.json")
+    with open(proto_path, "w") as f:
+        json.dump(shots, f)
+
+    variables = convert_deeplab_checkpoint(
+        {k: v.detach().numpy() for k, v in model_t.state_dict().items()})
+    return model_t, variables, cs_root, proto_path, loader, str(tmp)
+
+
+def _run_reference(ref_te, model_t, loader, run_cwd, proto_path):
+    metrics = ref_te.StreamSegMetrics(NCLS + 1)
+    recorded = []
+    orig_update = metrics.update
+
+    def spy(targets, preds):
+        recorded.append((np.array(targets, copy=True),
+                         np.array(preds, copy=True)))
+        return orig_update(targets, preds)
+
+    metrics.update = spy
+    opts = types.SimpleNamespace(save_val_results=False, num_classes=NCLS)
+    cwd = os.getcwd()
+    os.chdir(run_cwd)  # validate opens prototype_car_5_shot.json from cwd
+    try:
+        with np.errstate(invalid="ignore"):  # np.mean of empty AUC lists
+            score, _ = ref_te.validate(
+                opts=opts, model=model_t, loader=loader,
+                device=torch.device("cpu"), metrics=metrics,
+                ret_samples_ids=None)
+    finally:
+        os.chdir(cwd)
+    return score, recorded
+
+
+def _run_repo(variables, cs_root, proto_path):
+    from open_world_semantic_segmentation_tpu.cli import eval_embedding
+
+    cfg = Config()
+    cfg.DATASET.root_dataset = cs_root
+    cfg.DEEPLAB.model = "deeplabv3plus_embedding_resnet101"
+    cfg.DEEPLAB.output_stride = 16
+    cfg.FEWSHOT.prototype_file = proto_path
+
+    recorded = []
+    orig_update = StreamSegMetrics.update
+
+    def spy(self, targets, preds):
+        recorded.append((np.array(targets, copy=True),
+                         np.array(preds, copy=True)))
+        return orig_update(self, targets, preds)
+
+    StreamSegMetrics.update = spy
+    try:
+        score = eval_embedding.main(cfg, precision_dtype=jnp.float32,
+                                    variables=variables)
+    finally:
+        StreamSegMetrics.update = orig_update
+    return score, recorded
+
+
+def test_npm_eval_loop_matches_reference(ref_te, models_and_data):
+    model_t, variables, cs_root, proto_path, loader, run_cwd = models_and_data
+
+    ref_score, ref_rec = _run_reference(ref_te, model_t, loader, run_cwd,
+                                        proto_path)
+    got_score, got_rec = _run_repo(variables, cs_root, proto_path)
+
+    assert len(ref_rec) == len(got_rec) == len(loader)
+    override_fired = False
+    for (t_ref, p_ref), (t_got, p_got) in zip(ref_rec, got_rec):
+        # remapped ground truth must be bit-identical
+        np.testing.assert_array_equal(t_got.squeeze(), t_ref.squeeze())
+        # predictions: fp32 torch vs fp32 XLA reassociation can flip pixels
+        # sitting exactly on an argmax/threshold knife edge; bound it hard
+        p_ref, p_got = p_ref.squeeze(), p_got.squeeze()
+        mismatch = float(np.mean(p_got != p_ref))
+        assert mismatch <= 1e-3, f"pred mismatch fraction {mismatch}"
+        override_fired |= bool((p_ref == NCLS).any())
+    # base argmax over 16 classes can never emit 16: seeing it proves the
+    # NPM distance override ran in BOTH loops (asserted equal above)
+    assert override_fired, "NPM override never fired — test is vacuous"
+
+    for key in ("Overall Acc", "Mean Acc", "FreqW Acc", "Mean IoU"):
+        np.testing.assert_allclose(got_score[key], ref_score[key],
+                                   atol=2e-3, err_msg=key)
+    for cls, iou in ref_score["Class IoU"].items():
+        got = got_score["Class IoU"][cls]
+        if np.isnan(iou):
+            assert np.isnan(got)
+        else:
+            np.testing.assert_allclose(got, iou, atol=5e-3,
+                                       err_msg=f"class {cls}")
