@@ -45,8 +45,8 @@ NCLS = 16  # reference sets opts.num_classes = 16 (test_embedding.py:661)
 # generic top-level names the two reference trees and their stubs fight
 # over; purged before import and restored from a snapshot afterwards
 _COLLIDING = ("utils", "datasets", "metrics", "network", "models",
-              "dataset", "config", "test_embedding", "torchvision",
-              "visdom")
+              "dataset", "config", "test_embedding",
+              "test_self_distillation", "torchvision", "visdom")
 
 
 def _stub_modules():
@@ -133,9 +133,11 @@ def ref_te():
     sys.path.insert(0, REF)
     try:
         import test_embedding as m
+        import test_self_distillation as m_sd
     except Exception as e:  # pragma: no cover - env-dependent
         _restore()
         pytest.skip(f"cannot import reference test_embedding: {e}")
+    m.sd = m_sd
     yield m
     _restore()
 
@@ -291,3 +293,118 @@ def test_npm_eval_loop_matches_reference(ref_te, models_and_data):
         else:
             np.testing.assert_allclose(got, iou, atol=5e-3,
                                        err_msg=f"class {cls}")
+
+
+def test_self_distillation_eval_loop_matches_reference(ref_te,
+                                                       tmp_path_factory):
+    """FT/PLM merged-prediction eval: the reference's own
+    test_self_distillation.py validate() (multi-head forward -> base argmax
+    overridden where the novel head predicts 16+i, :292-297; label remap
+    :351-354) vs cli.self_distillation.main(mode='eval') on converted
+    weights."""
+    torch.manual_seed(1)
+    model_t = ref_te.sd.network.deeplabv3plus_embedding_self_distillation_resnet101(
+        num_classes=NCLS, output_stride=16, pretrained_backbone=False)
+    model_t.eval()
+
+    tmp = tmp_path_factory.mktemp("sd_parity")
+    cs_root = make_cityscapes(str(tmp / "cs"), splits=("val",), n=2,
+                              h=H, w=W)
+
+    # same knife-edge fix as the NPM test, per head (base 16-out +
+    # classifier_1 17-out final convs)
+    probe_img = Image.open(sorted(
+        (p for p in (os.path.join(dp, f)
+                     for dp, _, fs in os.walk(cs_root) for f in fs)
+         if p.endswith("_leftImg8bit.png")))[0]).convert("RGB")
+    probe = torch.from_numpy(
+        (np.array(probe_img, np.float32) / 255.0 - 0.45) / 0.225
+    ).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        _, _, f_probe = model_t(probe)
+        for ncls_head, f_head in zip((NCLS, NCLS + 1), f_probe):
+            feat_scale = float(f_head.abs().max())
+            conv = [mod for mod in model_t.modules()
+                    if isinstance(mod, torch.nn.Conv2d)
+                    and mod.out_channels == ncls_head][-1]
+            conv.weight.mul_(3.0 / feat_scale)
+            if conv.bias is not None:
+                conv.bias.mul_(3.0 / feat_scale)
+        # random-init features are spatially smooth, so the novel channel
+        # (16) may never win the 17-way argmax anywhere — bias it to win on
+        # ~5% of probe pixels so the merge override is actually exercised
+        _, _, f_scaled = model_t(probe)
+        fh = f_scaled[1][0].numpy()  # (H, W, 17)
+        gap = fh[..., :NCLS].max(-1) - fh[..., NCLS]
+        novel_conv = [mod for mod in model_t.modules()
+                      if isinstance(mod, torch.nn.Conv2d)
+                      and mod.out_channels == NCLS + 1][-1]
+        novel_conv.bias[NCLS] += float(np.quantile(gap, 0.05))
+
+    val_tf = ref_te.et.ExtCompose([
+        ref_te.et.ExtToTensor(),
+        ref_te.et.ExtNormalize(mean=[0.485, 0.456, 0.406],
+                               std=[0.229, 0.224, 0.225]),
+    ])
+    ds = ref_te.Cityscapes(root=cs_root, split="val", transform=val_tf)
+    loader = [(img[None], torch.as_tensor(np.array(lab))[None],
+               torch.as_tensor(np.array(lab_true))[None])
+              for img, lab, lab_true in (ds[i] for i in range(len(ds)))]
+
+    # reference run
+    metrics = ref_te.sd.StreamSegMetrics(NCLS + 1)
+    ref_rec = []
+    orig_update = metrics.update
+
+    def spy(targets, preds):
+        ref_rec.append((np.array(targets, copy=True),
+                        np.array(preds, copy=True)))
+        return orig_update(targets, preds)
+
+    metrics.update = spy
+    opts = types.SimpleNamespace(save_val_results=False, num_classes=NCLS,
+                                 novel_cls=1)
+    ref_score, _ = ref_te.sd.validate(
+        opts=opts, model=model_t, loader=loader,
+        device=torch.device("cpu"), metrics=metrics, ret_samples_ids=None)
+
+    # repo run
+    from open_world_semantic_segmentation_tpu.cli import self_distillation
+
+    variables = convert_deeplab_checkpoint(
+        {k: v.detach().numpy() for k, v in model_t.state_dict().items()},
+        head_names=("classifier", "classifier_1"))
+    cfg = Config()
+    cfg.DATASET.root_dataset = cs_root
+    cfg.DEEPLAB.output_stride = 16
+
+    got_rec = []
+    orig_cls_update = StreamSegMetrics.update
+
+    def spy_cls(self, targets, preds):
+        got_rec.append((np.array(targets, copy=True),
+                        np.array(preds, copy=True)))
+        return orig_cls_update(self, targets, preds)
+
+    StreamSegMetrics.update = spy_cls
+    try:
+        got_score = self_distillation.main(cfg, precision_dtype=jnp.float32,
+                                           mode="eval", variables=variables)
+    finally:
+        StreamSegMetrics.update = orig_cls_update
+
+    assert len(ref_rec) == len(got_rec) == len(loader)
+    novel_fired = False
+    for (t_ref, p_ref), (t_got, p_got) in zip(ref_rec, got_rec):
+        np.testing.assert_array_equal(t_got.squeeze(), t_ref.squeeze())
+        p_ref, p_got = p_ref.squeeze(), p_got.squeeze()
+        mismatch = float(np.mean(p_got != p_ref))
+        assert mismatch <= 1e-3, f"pred mismatch fraction {mismatch}"
+        novel_fired |= bool((p_ref == NCLS).any())
+    # the base head's 16-way argmax can never emit 16: seeing it proves the
+    # novel-head override (test_self_distillation.py:295-297) ran
+    assert novel_fired, "novel-head merge never fired — test is vacuous"
+
+    for key in ("Overall Acc", "Mean Acc", "FreqW Acc", "Mean IoU"):
+        np.testing.assert_allclose(got_score[key], ref_score[key],
+                                   atol=2e-3, err_msg=key)
