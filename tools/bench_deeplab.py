@@ -9,7 +9,13 @@ using the same scan-of-images single-dispatch method as bench.py.
 
 Usage:
     python tools/bench_deeplab.py [--quant int8] [--imgs 8] [--iters 2]
-        [--height 1024 --width 2048] [--model resnet101]
+        [--height 1024 --width 2048] [--model resnet101] [--batch 1]
+
+``--batch N`` runs N images per dispatch (a throughput mode for offline
+sweeps; the recorded per-image number keeps the reference's batch-1
+semantics). Measured on v5e: bs1 45-50, bs2 53.2, bs4 55.2 imgs/sec —
+batching amortizes the per-image dependency stalls the xplane shows on
+the ASPP fusions (tools/probe_deeplab_batch.py).
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
-         quant="off", dilated_impl=None):
+         quant="off", dilated_impl=None, batch=1):
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
     os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
@@ -68,20 +74,22 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         return total
 
     fn = jax.jit(eval_stream)
+    n_steps = max(1, n_imgs // batch)
     imgs = jnp.asarray(
-        rng.standard_normal((n_imgs, 1, height, width, 3)), jnp.float32)
+        rng.standard_normal((n_steps, batch, height, width, 3)), jnp.float32)
     int(fn(variables, imgs))  # compile + sync (scalar readback)
     tic = time.perf_counter()
     for _ in range(n_iters):
         out = fn(variables, imgs)
     int(out)
-    dt = (time.perf_counter() - tic) / (n_iters * n_imgs)
+    dt = (time.perf_counter() - tic) / (n_iters * n_steps * batch)
     print(json.dumps({
         "metric": f"cityscapes_deeplab{model_depth}_eval",
         "value": round(1.0 / dt, 4),
         "unit": "imgs/sec/chip",
         "quant": quant,
         "dilated_impl": dilated_impl or "native",
+        "batch": batch,
         "input": [height, width],
     }))
 
@@ -95,9 +103,10 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--quant", default="off",
                     choices=["off", "int8", "int8-3x3"])
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dilated-impl", default=None, choices=["shift"],
                     help="route ASPP-scale dilated convs through the "
                          "shift+matmul formulation (ops/dilated.py)")
     args = ap.parse_args()
     main(args.model, args.height, args.width, args.imgs, args.iters,
-         args.quant, args.dilated_impl)
+         args.quant, args.dilated_impl, args.batch)
