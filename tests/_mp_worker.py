@@ -56,11 +56,18 @@ def tree_digest(tree) -> str:
     return h.hexdigest()
 
 
+def _mark(msg: str):
+    # unbuffered progress breadcrumbs: the parent test reads the log tail
+    # when a worker dies or stalls, so every long phase must leave a trace
+    print(f"[worker] {msg}", flush=True)
+
+
 def main(pid: int, nprocs: int, port: int, root: str, outdir: str):
     # persistent compile cache: the sharded train-step compile dominates
     # this test's wall time; warm reruns skip it
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
+    _mark(f"pid={pid} initializing jax.distributed on port {port}")
     jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == 4 * nprocs
@@ -114,10 +121,13 @@ def main(pid: int, nprocs: int, port: int, root: str, outdir: str):
     # execution within milliseconds of each other.
     batch = next(batches)
     assert batch["img_data"].shape[0] == bs_local * nprocs
+    _mark("compiling sharded train step")
     compiled = step_fn.lower(state, batch).compile()
+    _mark("compiled; waiting at barrier")
     from jax._src import distributed as _dist
 
-    _dist.global_state.client.wait_at_barrier("owss_mp_compiled", 300_000)
+    _dist.global_state.client.wait_at_barrier("owss_mp_compiled", 600_000)
+    _mark("barrier passed; running steps")
 
     losses = []
     for i in range(3):

@@ -35,7 +35,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(root, outdir, port, timeout=600):
+def _run_workers(root, outdir, port, timeout=1500):
     """Spawn both workers; returns per-worker (returncode, log_tail)."""
     env = dict(os.environ)
     # the worker overrides platform/devices via jax.config itself; drop any
