@@ -68,7 +68,7 @@ def live_mode(cfg, out_path, precision_dtype, max_frames=None,
 
     from .main_deeplab import build_model
     from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
-    from ..train import load_checkpoint
+    from ..train import load_checkpoint_lenient
 
     model, _ = build_model(cfg, train=False, dtype=precision_dtype)
     ds = _frames(cfg)
@@ -77,7 +77,7 @@ def live_mode(cfg, out_path, precision_dtype, max_frames=None,
                                jnp.zeros((1, 64, 64, 3), jnp.float32))
         w = cfg.MODEL.weights_encoder or cfg.MODEL.weights_decoder
         if w:
-            variables, _ = load_checkpoint(w, target=variables, partial=True)
+            variables, _ = load_checkpoint_lenient(w, target=variables)
 
     @jax.jit
     def fwd(variables, image):

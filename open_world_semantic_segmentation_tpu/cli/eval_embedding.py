@@ -27,7 +27,7 @@ from ..fewshot import load_prototypes, npm_label_remap, npm_override
 from ..metrics import StreamSegMetrics
 from ..metrics.anom import eval_ood_measure
 from ..openset.calibration import ScoreCalibration, collect_dissum_samples
-from ..train import load_checkpoint
+from ..train import load_checkpoint_lenient
 
 
 def fit_calibration(model, variables, dataset, num_classes, cfg):
@@ -93,7 +93,7 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None, variables=None,
         variables = model.init(jax.random.PRNGKey(0), example)
         w = cfg.MODEL.weights_encoder or cfg.MODEL.weights_decoder
         if w:
-            variables, _ = load_checkpoint(w, target=variables, partial=True)
+            variables, _ = load_checkpoint_lenient(w, target=variables)
 
     prototype = load_prototypes(cfg.FEWSHOT.prototype_file)
     novel_id = num_classes  # 16
@@ -103,6 +103,11 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None, variables=None,
     if cfg.FEWSHOT.calibrate_scores:
         calib = fit_calibration(model, variables, val_ds, num_classes, cfg)
 
+    # The calibrated-score path needs full-res f32 softmax + dissum maps
+    # as extra jit outputs (~140 MB/image at 1024x2048x16 — XLA cannot DCE
+    # returned outputs), so only the calibrating variant materializes them.
+    want_scores = calib is not None
+
     @jax.jit
     def fwd(variables, image, labels):
         logits, centers, features = model.apply(variables, image)
@@ -111,6 +116,8 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None, variables=None,
             preds[0], features[0], logits[0], jnp.asarray(prototype),
             novel_id=novel_id, dis_threshold=threshold)
         remapped = npm_label_remap(labels[0], novel_id=novel_id)
+        if not want_scores:
+            return new_preds, remapped, (), ()
         lg = logits[0].astype(jnp.float32)
         probs = jax.nn.softmax(lg, axis=-1)
         return new_preds, remapped, probs, -jnp.sum(lg, axis=-1)

@@ -36,14 +36,16 @@ def _export_npm(cfg, precision_dtype, height, width, batch, platforms, out):
 
     from .main_deeplab import build_model
     from ..core.export import export_npm_eval_fn
-    from ..train import load_checkpoint
+    from ..train import load_checkpoint_lenient
 
     model, num_classes = build_model(cfg, train=False, dtype=precision_dtype)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32))
     w = cfg.MODEL.weights_encoder or cfg.MODEL.weights_decoder
     if w:
-        variables, _ = load_checkpoint(w, target=variables, partial=True)
+        # strict first, partial LOUDLY on mismatch — a wrong-architecture
+        # checkpoint must not silently export a half-random artifact
+        variables, _ = load_checkpoint_lenient(w, target=variables)
     blob, feat_dim = export_npm_eval_fn(
         model, variables, (height, width), batch=batch,
         novel_id=num_classes, dis_threshold=cfg.FEWSHOT.npm_dis_threshold,

@@ -23,7 +23,7 @@ from .main_deeplab import build_model, get_transforms
 from ..data import Cityscapes
 from ..data.loader import batch_iterator
 from ..fewshot import extract_prototype, save_prototypes
-from ..train import load_checkpoint
+from ..train import load_checkpoint_lenient
 
 
 def main(cfg, precision_dtype=jnp.float32, variables=None,
@@ -38,7 +38,7 @@ def main(cfg, precision_dtype=jnp.float32, variables=None,
                                jnp.zeros((1, 64, 64, 3), jnp.float32))
         w = cfg.MODEL.weights_encoder or cfg.MODEL.weights_decoder
         if w:
-            variables, _ = load_checkpoint(w, target=variables, partial=True)
+            variables, _ = load_checkpoint_lenient(w, target=variables)
 
     @jax.jit
     def fwd(variables, image, labels_true):

@@ -132,7 +132,14 @@ class Segmenter:
             self.model_name = meta.get("model", "artifact")
             self.variables = None
             # artifacts are exported at a FIXED batch; pad every dispatch
-            # to it
+            # to it — say so when that discards a CLI flag
+            if int(max_batch) != ab:
+                print(f"NOTE: artifact batch={ab} overrides "
+                      f"--max-batch {max_batch} (micro-batching follows "
+                      "the artifact; re-export with --batch to change)")
+            if (ah, aw) != (height, width):
+                print(f"NOTE: artifact input {ah}x{aw} overrides "
+                      f"--height/--width {height}x{width}")
             max_batch = ab
             fwd = lambda _vars, imgs: afn(imgs)  # noqa: E731
         else:
@@ -154,11 +161,9 @@ class Segmenter:
             @jax.jit
             def fwd(variables, imgs):
                 if device_input:
-                    from ..data.odgt import IMAGENET_MEAN, IMAGENET_STD
+                    from ..data.odgt import device_normalize
 
-                    imgs = imgs.astype(jnp.float32) / 255.0
-                    imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) \
-                        / jnp.asarray(IMAGENET_STD)
+                    imgs = device_normalize(imgs)
                 out = self.model.apply(variables, imgs, seg_size=self.size)
                 scores = out["scores"]
                 return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),

@@ -9,7 +9,27 @@ on any backend.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _host_fingerprint() -> str:
+    """Microarch key for the cache path. XLA:CPU stores AOT machine code
+    keyed only by program+options — NOT by host machine features — and
+    loading an entry compiled on a different microarch both warns
+    (cpu_aot_loader 'Compile machine features ... vs host') and produces
+    float results a couple of ulps off fresh codegen, which breaks
+    bitwise-parity tests. Splitting the cache per CPU-flags fingerprint
+    makes a cache populated on one host invisible to a different one."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
 
 
 def enable(cache_dir: str = None):
@@ -19,6 +39,7 @@ def enable(cache_dir: str = None):
         "OWSS_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -61,6 +61,21 @@ def img_transform(img: Image.Image) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def device_normalize(imgs):
+    """On-device uint8 NHWC -> ImageNet-normalized float32 (jit-safe).
+
+    The single definition of the device-input normalization used by the
+    serving path (cli/serve.py --device-input) and its benchmark
+    (tools/bench_stream.py) — keeping them one function guarantees the
+    benchmarked program is the served program. Matches img_transform
+    (dataset.py:36-38 semantics) bit-for-bit for uint8 inputs.
+    """
+    import jax.numpy as jnp
+
+    imgs = imgs.astype(jnp.float32) / 255.0
+    return (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def segm_transform(segm) -> np.ndarray:
     """label png -> int32 HW, values shifted to -1..C-1."""
     return np.array(segm, dtype=np.int32) - 1

@@ -162,11 +162,25 @@ class ScoreCalibration:
 
     @classmethod
     def fit(cls, data_list, mode: str = "step", clip: float = 1000.0,
-            min_samples: int = 2):
-        """Fit from ``num_classes(+1)`` sample lists (the trailing unknown
-        list, if present, is not calibrated — reference fits only known
-        classes, main_embedding.py:203-219)."""
-        known = data_list[:-1] if len(data_list) > 1 else data_list
+            min_samples: int = 2, has_unknown: bool = True):
+        """Fit from per-class sample lists.
+
+        ``has_unknown=True`` (the layout ``collect_dissum_samples``
+        produces): ``data_list`` is ``num_classes + 1`` lists and the
+        trailing unknown list is not calibrated — the reference fits only
+        known classes (main_embedding.py:203-219). Pass
+        ``has_unknown=False`` when every list is a known class; the slot
+        is declared explicitly rather than guessed from the list length.
+        """
+        if has_unknown:
+            if len(data_list) < 2:
+                raise ValueError(
+                    "has_unknown=True needs num_classes+1 sample lists "
+                    f"(got {len(data_list)}); pass has_unknown=False if "
+                    "there is no trailing unknown slot")
+            known = data_list[:-1]
+        else:
+            known = data_list
         sorted_samples, thresholds, gmm_params = [], [], []
         n_null = 0
         for cl, samples in enumerate(known):

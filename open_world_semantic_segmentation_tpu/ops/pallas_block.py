@@ -36,8 +36,8 @@ Kernel design (see also ops/pallas_knn.py for the established idioms):
   are zeros because the valid-region mask is applied to the conv1 output
   *before* rolling.  Slack columns of the *input* may hold garbage — the
   mask makes the kernel's own output slack exactly zero, which is what
-  lets fused blocks chain with no repacking (models/resnet.py keeps the
-  padded width across layer1-layer3).
+  lets fused blocks chain with no repacking if a caller ever routes a
+  whole stage through the kernel.
 - **Row taps are free.** Slices along the leading (non-tiled) axis carry
   no alignment constraint, so the 3x3's row taps are plain dim-0 slices
   of the conv1-output ring.
@@ -271,8 +271,11 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None, *,
 
 # ---------------------------------------------------------------------------
 # VMEM feasibility: decide (at model-build time) whether a block's working
-# set fits; models/resnet.py falls back to the XLA path when it does not
-# (layer4 of resnet50dilated at bf16: ~12 MB of weights alone).
+# set fits.  NOTE: the production backbone currently keeps the plain XLA
+# conv path everywhere — on-chip the kernel only TIES XLA at flagship
+# geometries (0.96-0.99x, docs/DESIGN.md), so nothing routes through it;
+# this predicate is for callers that do (layer4 of resnet50dilated at
+# bf16 would not fit anyway: ~12 MB of weights alone).
 
 VMEM_BUDGET = 13 * 1024 * 1024  # leave ~3 MB of the ~16 MB for temporaries
 

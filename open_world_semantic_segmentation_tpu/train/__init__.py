@@ -17,6 +17,7 @@ from .state import TrainState, make_anomaly_train_step, make_deeplab_train_step
 from .checkpoint import (
     save_checkpoint,
     load_checkpoint,
+    load_checkpoint_lenient,
     save_checkpoint_orbax,
     load_checkpoint_orbax,
 )

@@ -54,6 +54,28 @@ def load_checkpoint(path: str, target: Any = None, partial: bool = False):
     return restored, payload["metadata"]
 
 
+def load_checkpoint_lenient(path: str, target: Any):
+    """Strict restore first; on structure mismatch fall back to a partial
+    load LOUDLY.
+
+    The shared policy for same-architecture eval/export drivers: a
+    matching checkpoint loads strictly (typos and wrong-arch files fail
+    fast), while legitimately-extra variable collections (e.g. int8
+    'quant' scales filled later by calibration) trigger the partial path
+    with a visible warning instead of silently shipping random weights.
+    Head-transfer drivers (self_distillation, main_distillation) keep
+    calling load_checkpoint(partial=True) directly — there the key
+    mismatch is the feature (reference models.py:178-182 strict=False).
+    """
+    try:
+        return load_checkpoint(path, target=target)
+    except (ValueError, KeyError) as e:
+        print(f"WARNING: strict checkpoint load failed ({e}); retrying "
+              "partial load — leaves missing from the checkpoint keep "
+              "their random init")
+        return load_checkpoint(path, target=target, partial=True)
+
+
 def _merge_partial(target: dict, source: dict):
     out = {}
     for k, tv in target.items():

@@ -27,7 +27,26 @@ def tiny_model():
     return model, variables
 
 
-def test_export_roundtrip_matches_direct_apply(tiny_model, tmp_path):
+@pytest.fixture()
+def fresh_compiles():
+    """Bypass the persistent compilation cache for bitwise-equality tests.
+
+    The suite-wide .jax_cache survives across rounds AND across host
+    machines; XLA:CPU AOT results compiled on a host with different
+    machine features (cpu_aot_loader warns 'Compile machine features ...
+    vs host machine features') produce float results a couple of ulps
+    apart from fresh compiles on this host. This test compares the
+    artifact execution against a direct apply bit-for-bit, so both sides
+    must be compiled by the SAME codegen — fresh, on this machine.
+    """
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_export_roundtrip_matches_direct_apply(tiny_model, tmp_path,
+                                               fresh_compiles):
     from open_world_semantic_segmentation_tpu.openset.scoring import (
         dissum_conf)
 
@@ -45,11 +64,20 @@ def test_export_roundtrip_matches_direct_apply(tiny_model, tmp_path):
     assert pred.shape == (1, 32, 48) and pred.dtype == jnp.uint8
     assert conf.shape == (1, 32, 48) and conf.dtype == jnp.float16
 
-    scores = model.apply(variables, img, seg_size=(32, 48))["scores"]
-    want_pred = np.argmax(np.asarray(scores), axis=-1)
-    want_conf = np.asarray(jax.vmap(dissum_conf)(scores), np.float16)
-    np.testing.assert_array_equal(np.asarray(pred), want_pred)
-    np.testing.assert_array_equal(np.asarray(conf), want_conf)
+    # The reference side must be the SAME whole program under jit — an
+    # eager op-by-op apply compiles each op separately and its float
+    # results can drift a couple of ulps from the fused whole-program
+    # codegen (host-dependent; bitwise equality then breaks spuriously).
+    @jax.jit
+    def ref(img):
+        scores = model.apply(variables, img, seg_size=(32, 48))["scores"]
+        scores = scores.astype(jnp.float32) / 1
+        return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
+                jax.vmap(dissum_conf)(scores).astype(jnp.float16))
+
+    want_pred, want_conf = ref(img)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(want_pred))
+    np.testing.assert_array_equal(np.asarray(conf), np.asarray(want_conf))
 
 
 def test_export_labels_only_and_magic_check(tiny_model, tmp_path):

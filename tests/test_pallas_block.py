@@ -5,8 +5,9 @@ numbers live in tools/bench_block.py + docs/DESIGN.md.  The reference
 implementation below IS the torch Bottleneck dataflow
 (/root/reference/anomaly/models/resnet.py:62-93) with BN already folded —
 fold correctness itself is covered by test_reference_parity.py (the
-ConvBN modules) plus the end-to-end backbone equality test in
-test_models_shapes.py once models/resnet.py routes through the kernel.
+ConvBN modules).  The backbone deliberately does NOT route through this
+kernel: on-chip it only ties XLA at flagship geometries (docs/DESIGN.md),
+so it ships as a standalone op with these oracles.
 """
 
 import jax
@@ -78,8 +79,8 @@ def test_fused_bottleneck_matches_xla(case):
 
 def test_fused_bottleneck_ignores_slack_garbage():
     # NaN in the input slack must not leak: masking uses select, and the
-    # output slack is exactly zero (the chain invariant models/resnet.py
-    # relies on)
+    # output slack is exactly zero (the invariant that would let fused
+    # blocks chain without repacking)
     _run(13, 21, 32, 16, 32, 1, 8, False, garbage_slack=True)
 
 

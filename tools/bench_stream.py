@@ -71,11 +71,9 @@ def main(height=720, width=1280, n_frames=32, quant="off",
     def fwd(variables, frame):
         if device_input:
             from open_world_semantic_segmentation_tpu.data.odgt import (
-                IMAGENET_MEAN, IMAGENET_STD)
+                device_normalize)
 
-            frame = frame.astype(jnp.float32) / 255.0
-            frame = (frame - jnp.asarray(IMAGENET_MEAN)) \
-                / jnp.asarray(IMAGENET_STD)
+            frame = device_normalize(frame)
         out = model.apply(variables, frame, seg_size=(height, width))
         scores = out["scores"][0]
         return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
