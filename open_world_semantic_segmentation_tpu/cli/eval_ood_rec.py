@@ -137,8 +137,11 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None):
     print("Mean IoU: {:.4f}, Accuracy: {:.2f}%, Inference Time: {:.4f}s"
           .format(float(iou.mean()), acc_meter.average() * 100,
                   time_meter.average()))
-    print("mean auroc = ", np.mean(aurocs), "mean aupr = ", np.mean(auprs),
-          " mean fpr = ", np.mean(fprs))
+    if aurocs:
+        print("mean auroc = ", np.mean(aurocs), "mean aupr = ",
+              np.mean(auprs), " mean fpr = ", np.mean(fprs))
+    else:  # no image had both in- and out-pixels — nothing to average
+        print("mean auroc =  n/a (no image with anomaly pixels)")
     return {"auroc": float(np.mean(aurocs)) if aurocs else None,
             "aupr": float(np.mean(auprs)) if auprs else None,
             "fpr": float(np.mean(fprs)) if fprs else None,

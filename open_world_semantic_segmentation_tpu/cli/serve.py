@@ -127,17 +127,21 @@ class Segmenter:
                     "NPM artifacts take (image, prototype) inputs — serve "
                     "only dispatches single-image artifacts")
             afn, meta = load_exported(artifact)
+            has_input_meta = "input" in meta
             ab, ah, aw, _ = meta.get("input", [1, height, width, 3])
             self.size = (ah, aw)
             self.model_name = meta.get("model", "artifact")
             self.variables = None
             # artifacts are exported at a FIXED batch; pad every dispatch
-            # to it — say so when that discards a CLI flag
-            if int(max_batch) != ab:
+            # to it — say so when that discards a CLI flag (but only when
+            # the shape was actually read from the artifact: a metadata
+            # header without 'input' falls back to the CLI values and
+            # overrides nothing)
+            if has_input_meta and int(max_batch) != ab:
                 print(f"NOTE: artifact batch={ab} overrides "
                       f"--max-batch {max_batch} (micro-batching follows "
                       "the artifact; re-export with --batch to change)")
-            if (ah, aw) != (height, width):
+            if has_input_meta and (ah, aw) != (height, width):
                 print(f"NOTE: artifact input {ah}x{aw} overrides "
                       f"--height/--width {height}x{width}")
             max_batch = ab

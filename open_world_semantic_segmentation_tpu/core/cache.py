@@ -33,6 +33,17 @@ def _host_fingerprint() -> str:
 
 
 def enable(cache_dir: str = None):
+    """Point JAX's persistent compilation cache at ``cache_dir`` (argument,
+    else $OWSS_JAX_CACHE, else ``<repo>/.jax_cache``).
+
+    Layout note: a per-host CPU-microarch fingerprint subdirectory is
+    ALWAYS appended — including to explicitly user-provided paths — because
+    sharing XLA:CPU AOT entries across microarchs is numerically unsafe
+    (see _host_fingerprint). Consequences for pre-existing caches: entries
+    written at the top level by older versions are orphaned (safe to
+    delete), and a cache path shared by heterogeneous hosts accumulates one
+    subdirectory per distinct CPU-flags set (each is independently valid;
+    prune stale ones manually if disk matters)."""
     import jax
 
     cache_dir = cache_dir or os.environ.get(

@@ -144,8 +144,16 @@ class StreamSegMetrics:
         return hist
 
     def get_results(self, verbose: bool = False):
+        import warnings
+
         hist = self.confusion_matrix
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"), \
+                warnings.catch_warnings():
+            # nanmean of an all-NaN row (empty matrix / no observed class)
+            # warns through the warnings module, not errstate; NaN is the
+            # correct reference-parity result there
+            warnings.filterwarnings("ignore", "Mean of empty slice",
+                                    RuntimeWarning)
             acc = np.diag(hist).sum() / hist.sum()
             acc_cls = np.nanmean(np.diag(hist) / hist.sum(axis=1))
             iu = np.diag(hist) / (

@@ -67,13 +67,21 @@ def load_checkpoint_lenient(path: str, target: Any):
     calling load_checkpoint(partial=True) directly — there the key
     mismatch is the feature (reference models.py:178-182 strict=False).
     """
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    tree = payload["tree"]
+    metadata = payload["metadata"]
     try:
-        return load_checkpoint(path, target=target)
-    except (ValueError, KeyError) as e:
+        return serialization.from_state_dict(target, tree), metadata
+    except ValueError as e:
+        # flax raises ValueError on structure mismatch only; a corrupt
+        # payload (missing 'tree'/'metadata') already failed above with
+        # its real KeyError instead of a misleading retry warning
         print(f"WARNING: strict checkpoint load failed ({e}); retrying "
               "partial load — leaves missing from the checkpoint keep "
               "their random init")
-        return load_checkpoint(path, target=target, partial=True)
+        merged = _merge_partial(serialization.to_state_dict(target), tree)
+        return serialization.from_state_dict(target, merged), metadata
 
 
 def _merge_partial(target: dict, source: dict):

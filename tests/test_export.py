@@ -71,6 +71,11 @@ def test_export_roundtrip_matches_direct_apply(tiny_model, tmp_path,
     @jax.jit
     def ref(img):
         scores = model.apply(variables, img, seg_size=(32, 48))["scores"]
+        # the '/ 1' is LOAD-BEARING, not dead code: it mirrors
+        # export_pyramid_eval_fn's 'astype(f32) / len(pyramid)'
+        # (core/export.py:94) so both jitted programs are structurally
+        # identical and the bitwise comparison below stays exact — removing
+        # it reintroduces flaky ulp mismatches
         scores = scores.astype(jnp.float32) / 1
         return (jnp.argmax(scores, axis=-1).astype(jnp.uint8),
                 jax.vmap(dissum_conf)(scores).astype(jnp.float16))

@@ -40,7 +40,7 @@ def test_extract_prototype_masked_mean():
 def test_extract_prototype_psum_over_mesh():
     """8 fake devices: per-shard masked sums psum to the global mean."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("data",))

@@ -53,7 +53,8 @@ def test_dissum_reference_math(scores):
     # fused coefficient computed then OVERRIDDEN by conf = dis_sum (:450)
     dis = -scores.sum(-1)
     dis[dis >= 400] = 400
-    want = (dis - dis.min()) / (dis.max() - dis.min())
+    with np.errstate(invalid="ignore"):  # constant map -> 0/0 is the oracle
+        want = (dis - dis.min()) / (dis.max() - dis.min())
     got = np.asarray(dissum_conf(jnp.asarray(scores)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
@@ -154,3 +155,45 @@ def test_evaluator_batched_matches_per_image(tmp_path):
     assert r1["auroc"] == pytest.approx(r2["auroc"], abs=1e-5)
     assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], abs=1e-5)
     assert r1["accuracy"] == pytest.approx(r2["accuracy"], abs=1e-5)
+
+
+def test_evaluator_batched_mixed_sizes_matches_per_image(tmp_path):
+    """Heterogeneous source sizes (3 distinct (h, w) -> 3 pyramid shape
+    sets): evaluate_batched groups by shape signature and batches within
+    each group instead of degrading to per-image dispatch; every per-image
+    metric matches the plain per-image path (VERDICT r3 #5)."""
+    from make_synthetic_data import make_streethazards_mixed
+    import jax
+    from open_world_semantic_segmentation_tpu.data import ValPipeline
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+
+    root = make_streethazards_mixed(str(tmp_path / "shm"), n_per_size=2)
+
+    def pipe():
+        return ValPipeline(root, os.path.join(root, "val.odgt"),
+                           img_sizes=(24, 32), img_max_size=80)
+
+    model = ModelBuilder.build_segmentation_model(
+        "resnet18dilated", "ppm_deepsup_embedding", num_class=13)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 32, 3)))
+
+    ev1 = OODEvaluator(model, variables, num_class=13, method="dissum")
+    r1 = ev1.evaluate(pipe(), progress=False)
+    ev2 = OODEvaluator(model, variables, num_class=13, method="dissum")
+    r2 = ev2.evaluate_batched(pipe(), batch_size=2)
+
+    # every dispatched batch is ONE shape group (scan programs only see
+    # uniform shapes); group order != loader order, so compare the
+    # per-image metric multisets — identical values, and the summary
+    # means agree to summation-order rounding
+    np.testing.assert_allclose(sorted(ev1.aurocs), sorted(ev2.aurocs),
+                               atol=2e-6)
+    np.testing.assert_allclose(sorted(ev1.fprs), sorted(ev2.fprs),
+                               atol=2e-6)
+    assert r1["auroc"] == pytest.approx(r2["auroc"], abs=1e-5)
+    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], abs=1e-5)
+    assert r1["accuracy"] == pytest.approx(r2["accuracy"], abs=1e-5)
+    # one batched program per distinct shape signature (3 sizes), built on
+    # top of one item program each
+    batched_keys = [k for k in ev2._compiled if k[0] == "batched"]
+    assert len(batched_keys) == 3
