@@ -125,12 +125,10 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None, variables=None,
     metrics = StreamSegMetrics(num_classes + 1)
     metrics.reset()
     calib_measures = []
-    count = 0
-    for image, target, _ in batch_iterator(val_ds, 1, shuffle=False,
-                                           drop_last=False, epochs=1):
-        preds, labels, probs, dissum = fwd(
-            variables, jnp.asarray(image),
-            jnp.asarray(target.astype(np.int32)))
+
+    def resolve(entry):
+        """Host-side consumption of one image's (async) device outputs."""
+        (preds, labels, probs, dissum), target = entry
         metrics.update(np.asarray(labels)[None].astype(np.int64),
                        np.asarray(preds)[None])
         if calib is not None:
@@ -142,9 +140,25 @@ def main(cfg, precision_dtype=jnp.float32, max_images=None, variables=None,
             res = eval_ood_measure(cert, raw, out_labels=(255,))
             if res is not None:
                 calib_measures.append(res)
+
+    # double-buffered dispatch (the anomaly evaluator's pattern,
+    # openset/evaluator.py): dispatch image k asynchronously, THEN resolve
+    # image k-1 — its compute overlapped this image's host decode/transfer,
+    # and the confusion-matrix bincount overlaps image k's compute
+    inflight = None
+    count = 0
+    for image, target, _ in batch_iterator(val_ds, 1, shuffle=False,
+                                           drop_last=False, epochs=1):
+        outs = fwd(variables, jnp.asarray(image),
+                   jnp.asarray(target.astype(np.int32)))
+        if inflight is not None:
+            resolve(inflight)
+        inflight = (outs, target)
         count += 1
         if max_images is not None and count >= max_images:
             break
+    if inflight is not None:
+        resolve(inflight)
     score = metrics.get_results()
     print(StreamSegMetrics.to_str(score))
     if calib is not None and calib_measures:

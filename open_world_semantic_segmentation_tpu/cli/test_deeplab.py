@@ -92,11 +92,12 @@ def validate(model, variables, val_ds, metrics: StreamSegMetrics, *,
     aucs, auprs, fprs = [], [], []
     img_id = 0
     n_done = 0
-    for image, target, target_true in batch_iterator(
-            val_ds, batch_size, shuffle=False, drop_last=False, epochs=1):
-        preds, scores = fwd(variables, jnp.asarray(image))
-        preds = np.asarray(preds)
-        scores = np.asarray(scores)
+
+    def resolve(entry):
+        nonlocal img_id
+        (preds_dev, scores_dev), image, target, target_true = entry
+        preds = np.asarray(preds_dev)
+        scores = np.asarray(scores_dev)
         metrics.update(target.astype(np.int64), preds)
 
         if unknown_scores:
@@ -117,9 +118,22 @@ def validate(model, variables, val_ds, metrics: StreamSegMetrics, *,
                 save_val_result(image[b], target[b], preds[b], scores[b],
                                 val_ds.decode_target, results_dir, img_id)
                 img_id += 1
-        n_done += len(preds)
+
+    # double-buffered dispatch (openset/evaluator.py pattern): image k's
+    # forward overlaps image k-1's host-side metric/PNG work and image
+    # k+1's decode
+    inflight = None
+    for image, target, target_true in batch_iterator(
+            val_ds, batch_size, shuffle=False, drop_last=False, epochs=1):
+        outs = fwd(variables, jnp.asarray(image))
+        if inflight is not None:
+            resolve(inflight)
+        inflight = (outs, image, target, target_true)
+        n_done += len(image)
         if max_images is not None and n_done >= max_images:
             break
+    if inflight is not None:
+        resolve(inflight)
 
     score = metrics.get_results()
     ood = None
