@@ -236,10 +236,15 @@ class OODEvaluator:
         dispatch so batch k+1's transfer overlaps batch k's compute.
         Identical numbers to :meth:`evaluate`.
 
-        Requires uniform image sizes within a batch (true for
-        StreetHazards); falls back to per-image evaluation when shapes vary.
+        Heterogeneous image sizes are handled by grouping: each distinct
+        (pyramid shapes, label shape) signature accumulates its own pending
+        batch and dispatches independently, so a mixed-size odgt tree
+        batches per shape group (one compile per distinct signature — a
+        handful of aspect ratios in practice) instead of falling back to
+        per-image dispatch. Within a group the numbers are bit-identical
+        to the uniform-size path.
         """
-        pending = []
+        pending_groups: dict = {}
         inflight = []
 
         def resolve(entry):
@@ -271,27 +276,13 @@ class OODEvaluator:
                 self.intersection_meter.update(inters[i])
                 self.union_meter.update(unions[i])
 
-        def flush():
+        def flush(sig):
+            pending = pending_groups.pop(sig, [])
             if not pending:
                 return
             raw_mode = "raw" in pending[0]
-            if raw_mode:
-                shapes = pending[0]["shapes"]
-                same = all(("raw" in it and it["shapes"] == shapes
-                            and it["raw"].shape == pending[0]["raw"].shape)
-                           for it in pending[1:])
-            else:
-                shapes = tuple(tuple(p.shape) for p in pending[0]["pyr"])
-                same = all(("pyr" in it
-                            and tuple(tuple(p.shape) for p in it["pyr"])
-                            == shapes) for it in pending[1:])
-            if not same:
-                while inflight:
-                    resolve(inflight.pop(0))
-                for it in pending:
-                    self.evaluate_item(it["item"])
-                pending.clear()
-                return
+            shapes = (pending[0]["shapes"] if raw_mode else
+                      tuple(tuple(p.shape) for p in pending[0]["pyr"]))
             tic = time.perf_counter()
             # stack on HOST, one device_put per input: a per-item put pays
             # the ~30 ms link latency 2x per image; batched puts pay it
@@ -310,7 +301,6 @@ class OODEvaluator:
             fn = self._batched_fn(shapes, seg_size, raw_input=raw_mode)
             outs = fn(self.variables, pyramids, seg_labels)  # async
             inflight.append((outs, list(pending), tic))
-            pending.clear()
             # double buffering: resolve the PREVIOUS batch only — its
             # compute overlapped this batch's host prep and transfer
             while len(inflight) > 1:
@@ -323,13 +313,18 @@ class OODEvaluator:
                 entry["raw"] = np.asarray(item["img_raw"])
                 entry["shapes"] = tuple(tuple(s)
                                         for s in item["pyramid_shapes"])
+                sig = ("raw", entry["shapes"], entry["raw"].shape,
+                       entry["seg"].shape)
             else:
                 entry["pyr"] = [np.asarray(lvl)
                                 for lvl in item["img_data"]]
-            pending.append(entry)
-            if len(pending) >= batch_size:
-                flush()
-        flush()
+                sig = ("pyr", tuple(tuple(p.shape) for p in entry["pyr"]),
+                       entry["seg"].shape)
+            pending_groups.setdefault(sig, []).append(entry)
+            if len(pending_groups[sig]) >= batch_size:
+                flush(sig)
+        for sig in list(pending_groups):
+            flush(sig)
         while inflight:
             resolve(inflight.pop(0))
         return self.summary(verbose=progress)
