@@ -141,6 +141,80 @@ def test_shard_batch_layout():
     assert sb["a"].sharding.spec == jax.sharding.PartitionSpec("data")
 
 
+def test_flagship_sharded_hlo_communication_guard():
+    """Regression guard on the 8-device flagship programs' communication
+    pattern (VERDICT r3 #3). Round 3's multichip unblock (commit ea4a7c1)
+    replaced the cumsum/concat adaptive-pooling lowering — whose GSPMD
+    partitioning emitted all-to-alls — with the matmul formulation
+    (ops/pool.py). ``dryrun_multichip`` only proves the program RUNS; this
+    test inspects the optimized HLO of both the train and eval steps and
+    fails if the regression ships again:
+
+    - no ``all-to-all`` anywhere;
+    - no host transfers inside the step (``is_host_transfer``/infeed/
+      outfeed) — the program is device-only;
+    - gradients/BN statistics reduce via ``all-reduce`` (present in train;
+      eval of a replicated model on data-sharded input needs NO
+      collectives at all).
+    """
+    from open_world_semantic_segmentation_tpu.models import ModelBuilder
+    from open_world_semantic_segmentation_tpu.openset.scoring import (
+        dissum_conf)
+    from open_world_semantic_segmentation_tpu.train import (
+        TrainState,
+        make_anomaly_train_step,
+        poly_schedule,
+        two_group_optimizer,
+    )
+
+    mesh = make_mesh(8)
+    model = ModelBuilder.build_segmentation_model(
+        "resnet50dilated", "ppm_deepsup_embedding", num_class=13,
+        train=True)
+    img = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    tx = two_group_optimizer(
+        variables["params"],
+        lr_encoder=poly_schedule(0.02, 100),
+        lr_decoder=poly_schedule(0.02, 100),
+        momentum=0.9, weight_decay=1e-4)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    state = replicate(state, mesh)
+    batch = shard_batch(
+        {"img_data": np.zeros((8, 64, 64, 3), np.float32),
+         "seg_label": np.zeros((8, 8, 8), np.int32)}, mesh)
+
+    step = make_anomaly_train_step(model)
+    train_txt = step.lower(state, batch).compile().as_text()
+
+    eval_model = ModelBuilder.build_segmentation_model(
+        "resnet50dilated", "ppm_deepsup_embedding", num_class=13,
+        train=False, use_softmax=True)
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def eval_fn(v, a):
+        out = eval_model.apply(v, a, seg_size=(64, 64))
+        scores = out["scores"]
+        return jax.vmap(dissum_conf)(scores), jnp.argmax(scores, axis=-1)
+
+    eval_txt = jax.jit(eval_fn).lower(
+        eval_vars, batch["img_data"]).compile().as_text()
+
+    for name, txt in (("train", train_txt), ("eval", eval_txt)):
+        assert "all-to-all" not in txt, (
+            f"{name} step: GSPMD re-introduced an all-to-all — the "
+            "adaptive-pooling lowering likely reverted to cumsum/concat "
+            "(see ops/pool.py and commit ea4a7c1)")
+        assert "is_host_transfer=true" not in txt, (
+            f"{name} step contains a host transfer")
+        assert "infeed" not in txt and "outfeed" not in txt, (
+            f"{name} step contains infeed/outfeed")
+    assert "all-reduce" in train_txt, (
+        "train step lost its gradient/BN all-reduce — the batch is no "
+        "longer reduced over the data axis")
+
+
 def test_spatially_sharded_eval_matches_single_device():
     """Width-sharded full-res eval (2-D mesh): XLA's GSPMD inserts conv
     halo exchanges; predictions must be identical to unsharded."""
