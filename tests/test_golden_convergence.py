@@ -1,0 +1,70 @@
+"""Golden convergence: the REAL training recipe learns open-set behavior.
+
+VERDICT r3 #1 — the strongest end-to-end evidence obtainable without the
+published checkpoints (zero egress): train an embedding (DML) model with
+the real ``cli/train_embedding`` recipe on the LEARNABLE synthetic
+StreetHazards task (color-coded classes; one held-out anomaly color that
+appears only in val), then run the real ``cli/eval_ood`` driver and assert
+the paper's central claim (anomaly/eval_ood_traditional.py:301-450): the
+trained DML embedding ranks the never-seen class as anomalous via dissum,
+and dissum beats msp on the same checkpoint.
+
+This is the scaled-down CPU variant (resnet18dilated, 96x144, 500 steps,
+relaxed thresholds); the flagship chip run with the full criteria
+(mIoU >= 0.8, dissum AUROC >= 0.9) is ``tools/golden_run.py`` with its
+numbers recorded in docs/DESIGN.md.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+pytestmark = pytest.mark.e2e
+
+
+def test_golden_convergence_cpu(tmp_path):
+    import jax.numpy as jnp
+
+    from golden_run import run
+
+    report = run(encoder="resnet18dilated", decoder="ppm_deepsup_embedding",
+                 steps=500, bs=8, lr=0.05, img_size=96, h=96, w=144,
+                 n_train=48, n_val=13, seed=0, noise=10.0,
+                 workdir=str(tmp_path), precision=jnp.float32)
+
+    # scaled-down thresholds (the chip flagship run asserts the full
+    # mIoU>=0.8 / AUROC>=0.9 criteria; at 500 CPU steps the ranking
+    # behavior is established well before the closed-set boundaries
+    # finish sharpening)
+    assert report["dissum"]["mean_iou"] >= 0.55, report["dissum"]
+    assert report["dissum"]["accuracy"] >= 0.75, report["dissum"]
+    assert report["dissum"]["auroc"] >= 0.85, report["dissum"]
+    # the paper's comparative claim: DML distance-sum beats max-softmax
+    # on the same trained model
+    assert report["dissum"]["auroc"] >= report["msp"]["auroc"], report
+
+
+def test_golden_npm_cityscapes_cpu(tmp_path):
+    """Cityscapes 16+1 NPM golden shape: base-train the 16-class embedding
+    model (real main_deeplab recipe), extract k-shot car prototypes with
+    the real extractor, and assert the NPM override recovers the novel
+    class that the no-override baseline cannot predict at all
+    (test_embedding.py:413-451)."""
+    import jax.numpy as jnp
+
+    from golden_run import run_cityscapes
+
+    report = run_cityscapes(model="deeplabv3plus_embedding_resnet50",
+                            steps=300, bs=4, lr=0.05, crop=96, h=96, w=192,
+                            n_train=19, n_val=4, seed=0,
+                            workdir=str(tmp_path), precision=jnp.float32)
+
+    assert report["prototypes"] >= 1, report
+    assert report["no_override"]["novel_iou"] == 0.0, report
+    assert report["npm"]["novel_iou"] > 0.1, report
+    assert report["npm"]["novel_iou"] > report["no_override"]["novel_iou"]
+    # the override must not destroy the base classes
+    assert report["npm"]["base_miou"] >= 0.4, report

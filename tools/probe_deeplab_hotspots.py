@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""On-chip probes for the DeepLab OS16 1024x2048 forward's hot fusions.
+
+Round-4 audit (VERDICT r3 #2): the xplane trace shows three dominant
+blocks — the 7x7/2 stem conv (~2.6 ms/img), the ASPP dilated 3x3 convs
+(~2.5 ms each for rates 12/18), and layout copies. This tool times each
+candidate reformulation in isolation with the in-program-scan method
+(SCAN iterations inside one dispatch; the ~10-30 ms tunnel round trip is
+paid once — docs/DESIGN.md "Probe methodology correction").
+
+Probes:
+  stem    : native 7x7/2 conv vs exact 2x2 space-to-depth (4x4/1 on 12ch)
+  dilated : native dilated 3x3 (rates 6/12/18) vs shift+matmul
+            (ops/dilated.py) on the real ASPP geometry [64,128,2048]->256
+
+Usage: python tools/probe_deeplab_hotspots.py [--scan 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, scan=50, iters=3):
+    """Median wall-time per scan iteration of fn inside one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*a):
+        def body(c, _):
+            out = fn(*a)
+            # fold output into the carry so the loop can't be elided
+            return c + jnp.sum(out.astype(jnp.float32)), ()
+
+        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              None, length=scan)
+        return tot
+
+    float(run(*args))  # compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(run(*args))
+        ts.append((time.perf_counter() - t0) / scan)
+    return float(np.median(ts))
+
+
+def probe_stem(scan):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 1024, 2048, 3)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.05, jnp.bfloat16)
+
+    def native(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def s2d(x, k):
+        # exact: y[i,j] = sum_{u,v} k[u,v] x[2i+u-3, 2j+v-3].
+        # With x2[i,j,(p,q,c)] = x[2i+p, 2j+q, c] (2x2 space-to-depth),
+        # x[2i+u-3] = x2[i + floor((u-3)/2)][phase (u-3) mod 2]; u-3 in
+        # [-3,3] -> block offsets -2..1 -> a 4x4 stride-1 conv on 12ch.
+        n, h, w, c = x.shape
+        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        k2 = jnp.zeros((4, 4, 2, 2, c, 64), k.dtype)
+        for u in range(7):
+            for v in range(7):
+                du, pu = divmod(u - 3, 2)
+                dv, pv = divmod(v - 3, 2)
+                k2 = k2.at[du + 2, dv + 2, pu, pv].set(k[u, v])
+        k2 = k2.reshape(4, 4, 2 * 2 * c, 64)
+        return jax.lax.conv_general_dilated(
+            x2, k2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    # correctness on a SMALL input, compared on-device down to one scalar
+    # (fetching a full-size output map over the axon tunnel takes minutes)
+    xs = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def relerr(xs, k):
+        a = native(xs, k).astype(jnp.float32)
+        b = s2d(xs, k).astype(jnp.float32)
+        return jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)
+
+    err = float(relerr(xs, k))
+    res = {
+        "stem_native_ms": round(timed(native, x, k, scan=scan) * 1e3, 3),
+        "stem_s2d_ms": round(timed(s2d, x, k, scan=scan) * 1e3, 3),
+        "stem_s2d_rel_err": err,
+    }
+    return res
+
+
+def probe_dilated(scan):
+    import jax
+    import jax.numpy as jnp
+
+    from open_world_semantic_segmentation_tpu.ops.dilated import (
+        dilated_conv3x3_shift)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 64, 128, 2048)) * 0.1,
+                    jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 2048, 256)) * 0.02,
+                    jnp.bfloat16)
+
+    res = {}
+    for d in (6, 12, 18):
+        def native(x, k, d=d):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding=((d, d), (d, d)),
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+        def shift(x, k, d=d):
+            return dilated_conv3x3_shift(x, k, (d, d))
+
+        res[f"dilated{d}_native_ms"] = round(
+            timed(native, x, k, scan=scan) * 1e3, 3)
+        res[f"dilated{d}_shift_ms"] = round(
+            timed(shift, x, k, scan=scan) * 1e3, 3)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scan", type=int, default=50)
+    ap.add_argument("--which", default="all",
+                    choices=["all", "stem", "dilated"])
+    args = ap.parse_args()
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+
+    out = {}
+    if args.which in ("all", "stem"):
+        out.update(probe_stem(args.scan))
+        print(json.dumps(out), flush=True)
+    if args.which in ("all", "dilated"):
+        out.update(probe_dilated(args.scan))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
