@@ -29,13 +29,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(batch=8, h=304, w=536, windows=4, window=10):
-    from open_world_semantic_segmentation_tpu.core.cache import enable
-    enable()
-    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
-
+def build_step(batch=8, h=304, w=536):
+    """Construct the config-#3 training program: returns
+    ``(step_fn, state, batch_dict)`` so the bench and the trace tool
+    (tools/profile_train.py) measure the SAME program."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from open_world_semantic_segmentation_tpu.cli._common import (
         build_anomaly_model)
@@ -66,6 +66,15 @@ def main(batch=8, h=304, w=536, windows=4, window=10):
             rng.standard_normal((batch, h, w, 3)), jnp.float32),
         "seg_label": jnp.asarray(labels),
     }
+    return step_fn, state, batch_np
+
+
+def main(batch=8, h=304, w=536, windows=4, window=10):
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
+
+    step_fn, state, batch_np = build_step(batch, h, w)
     for _ in range(2):
         state, metrics = step_fn(state, batch_np)
     float(metrics["loss"])  # true sync: scalar readback (axon gotcha:

@@ -26,13 +26,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(crop=768, batch=5, n_iters=10, warmup=2):
-    from open_world_semantic_segmentation_tpu.core.cache import enable
-    enable()
-    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
-
+def build_step(crop=768, batch=5):
+    """Construct the config-#4 training program: returns
+    ``(step_fn, state, batch_dict)`` so the bench and the trace tool
+    (tools/profile_train.py) measure the SAME program."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from open_world_semantic_segmentation_tpu.cli.self_distillation import (
         make_self_distillation_step)
@@ -70,7 +70,15 @@ def main(crop=768, batch=5, n_iters=10, warmup=2):
             rng.standard_normal((batch, crop, crop, 3)), jnp.float32),
         "label": jnp.asarray(labels),
     }
+    return step_fn, state, batch_np
 
+
+def main(crop=768, batch=5, n_iters=10, warmup=2):
+    from open_world_semantic_segmentation_tpu.core.cache import enable
+    enable()
+    os.environ.setdefault("OWSS_RESIZE_IMPL", "mxu")
+
+    step_fn, state, batch_np = build_step(crop, batch)
     for _ in range(warmup):
         state, loss = step_fn(state, batch_np)
     float(loss)  # sync

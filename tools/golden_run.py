@@ -193,6 +193,10 @@ def main():
     ap.add_argument("--noise", type=float, default=18.0)
     ap.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"])
+    ap.add_argument("--eval-precision", default=None,
+                    choices=["bf16", "fp32"],
+                    help="eval dtype (default: same as --precision); the "
+                         "reference evals fp32")
     ap.add_argument("--task", default="streethazards",
                     choices=["streethazards", "cityscapes"])
     ap.add_argument("--deeplab-model",
@@ -205,10 +209,12 @@ def main():
                        crop=args.img_size, seed=args.seed, noise=args.noise,
                        precision=dtype)
         return
+    ep = {None: None, "bf16": jnp.bfloat16,
+          "fp32": jnp.float32}[args.eval_precision]
     run(encoder=args.encoder, decoder=args.decoder, steps=args.steps,
         bs=args.bs, lr=args.lr, img_size=args.img_size, h=args.h, w=args.w,
         n_train=args.n_train, n_val=args.n_val, seed=args.seed,
-        noise=args.noise, precision=dtype)
+        noise=args.noise, precision=dtype, eval_precision=ep)
 
 
 if __name__ == "__main__":
