@@ -69,7 +69,9 @@ def test_confusion_matrix_update_matches_stream_metrics():
     m.reset()
     m.update(labels, preds)
 
-    hist = jnp.zeros((19, 19), jnp.float64)
+    # float32 counts: exact for the ~3k pixels here (and x64 is off by
+    # default, so requesting float64 would only emit a truncation warning)
+    hist = jnp.zeros((19, 19), jnp.float32)
     for lt, lp in zip(labels, preds):
         hist = confusion_matrix_update(hist, jnp.asarray(lt), jnp.asarray(lp), 19)
     np.testing.assert_allclose(np.asarray(hist), m.confusion_matrix)
