@@ -390,3 +390,38 @@ def test_plot_prototypes_tool(tmp_path):
     out = pp.main([flat, "--out", str(tmp_path / "imgs" / "tsne.jpg"),
                    "--perplexity", "5"])
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_inspect_results_tool(tmp_path):
+    """tools/inspect_results.py: the Read_img.py equivalent (artifacts
+    stats + contact sheet, per-class histograms from JSON and calib npz)."""
+    import json
+
+    from PIL import Image
+
+    import inspect_results as ir
+
+    d = tmp_path / "res"
+    d.mkdir()
+    Image.fromarray(
+        (np.arange(32 * 96 * 3) % 255).astype(np.uint8).reshape(
+            32, 96, 3)).save(d / "grid.png")
+    np.save(d / "dis_sum.npy", np.linspace(0, 1, 64).reshape(8, 8))
+    entries = ir.inspect_artifacts(str(d), out=str(tmp_path / "sheet.png"))
+    assert {n for n, _, _ in entries} == {"grid.png", "dis_sum.npy"}
+    assert (tmp_path / "sheet.png").stat().st_size > 0
+
+    # logit_dict.json layout (list-of-lists, anomaly/Read_img.py:36-43)
+    j = tmp_path / "logit_dict.json"
+    j.write_text(json.dumps([[0.1, 0.2, 0.4], [1.0, 2.0]]))
+    s = ir.inspect_hist(str(j), out=str(tmp_path / "h.png"))
+    assert s[0].size == 3 and s[1].size == 2
+    assert (tmp_path / "h.png").stat().st_size > 0
+
+    # ScoreCalibration npz layout (samples_<cl> arrays)
+    np.savez(tmp_path / "calib.npz",
+             samples_0=np.sort(np.linspace(-1, 1, 5)),
+             samples_1=np.asarray([0.5]),
+             thresholds=np.zeros(2))
+    s2 = ir.inspect_hist(str(tmp_path / "calib.npz"))
+    assert set(s2) == {0, 1} and s2[0].size == 5
