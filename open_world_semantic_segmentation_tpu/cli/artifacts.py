@@ -9,13 +9,17 @@ table). Two subcommands:
   format/owss_version/jax_version/model/input/quant/...). Cheap: never
   deserializes the StableHLO payload.
 - ``check PATH [PATH...]``: full deserialization — verifies the payload
-  parses, prints the artifact's actual calling convention (input avals)
+  parses, validates the metadata schema for the artifact's kind
+  (plain / pyramid / NPM, the three shapes ``cli/export_model.py``
+  emits), prints the artifact's actual calling convention (input avals)
   and lowering platforms, and flags artifacts whose platforms don't
-  include the current backend.
+  include the current backend. With ``--run`` it also EXECUTES the
+  artifact on zeros at its declared input spec and checks the outputs
+  are finite — the strongest offline validation a zoo can get.
 
 Usage:
     python -m open_world_semantic_segmentation_tpu.cli.artifacts list zoo/
-    python -m open_world_semantic_segmentation_tpu.cli.artifacts check zoo/m.owss
+    python -m open_world_semantic_segmentation_tpu.cli.artifacts check zoo/m.owss --run
 """
 
 from __future__ import annotations
@@ -49,8 +53,64 @@ def list_artifacts(root: str) -> list:
     return rows
 
 
-def check_artifact(path: str) -> dict:
-    """Deserialize ``path`` and report its true calling convention."""
+def _kind(meta: dict) -> str:
+    if meta.get("npm"):
+        return "npm"
+    if meta.get("pyramid"):
+        return "pyramid"
+    return "plain"
+
+
+def validate_meta(meta: dict) -> list:
+    """Schema problems for the three artifact kinds export_model emits."""
+    problems = []
+    if meta.get("format") != 1:
+        problems.append(f"unknown format {meta.get('format')!r}")
+    for key in ("owss_version", "jax_version", "model", "input"):
+        if key not in meta:
+            problems.append(f"missing meta key {key!r}")
+    kind = _kind(meta)
+    if kind == "npm":
+        for key in ("prototype_dim", "novel_id", "dis_threshold"):
+            if key not in meta:
+                problems.append(f"npm artifact missing {key!r}")
+    elif "method" not in meta:
+        problems.append("missing meta key 'method'")
+    if kind == "pyramid" and not (
+            isinstance(meta.get("input"), list) and meta["input"]
+            and isinstance(meta["input"][0], list)):
+        problems.append("pyramid 'input' must be a list of shapes")
+    return problems
+
+
+def _run_on_zeros(exported, meta: dict) -> list:
+    """Execute on zeros at the declared input spec; non-finite or raising
+    outputs are problems."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec, kind = meta.get("input"), _kind(meta)
+    if kind == "pyramid":
+        args = [jnp.zeros(s, jnp.float32) for s in spec]
+    elif kind == "npm":
+        args = [jnp.zeros(spec, jnp.float32),
+                jnp.zeros((meta["prototype_dim"],), jnp.float32)]
+    else:
+        args = [jnp.zeros(spec, jnp.float32)]
+    try:
+        out = jax.jit(exported.call)(*args)
+    except Exception as e:
+        return [f"execution failed: {type(e).__name__}: {e}"]
+    for leaf in jax.tree_util.tree_leaves(out):
+        if not bool(np.all(np.isfinite(np.asarray(leaf, np.float32)))):
+            return ["non-finite output on zero input"]
+    return []
+
+
+def check_artifact(path: str, run: bool = False) -> dict:
+    """Deserialize ``path``, validate its metadata schema, report its true
+    calling convention; ``run=True`` also executes it on zero inputs."""
     import jax
     from jax import export as jex
 
@@ -62,6 +122,7 @@ def check_artifact(path: str) -> dict:
         f.readline()
         exported = jex.deserialize(f.read())
     backend = jax.default_backend()
+    problems = validate_meta(meta)
     report = {
         "path": path,
         "meta": meta,
@@ -71,6 +132,11 @@ def check_artifact(path: str) -> dict:
         "current_backend": backend,
         "runs_here": backend in exported.platforms,
     }
+    if run and not problems and report["runs_here"]:
+        problems += _run_on_zeros(exported, meta)
+        report["ran_on_zeros"] = not problems
+    report["problems"] = problems
+    report["valid"] = not problems
     return report
 
 
@@ -82,7 +148,11 @@ def main(argv=None) -> int:
     p_list = sub.add_parser("list", help="header-only manifest scan")
     p_list.add_argument("root", help=".owss file or directory (recursive)")
     p_check = sub.add_parser("check", help="deserialize + verify")
-    p_check.add_argument("paths", nargs="+")
+    p_check.add_argument("paths", nargs="+",
+                         help=".owss files and/or directories (recursive)")
+    p_check.add_argument("--run", action="store_true",
+                         help="also execute each artifact on zero inputs "
+                              "and verify finite outputs")
     args = parser.parse_args(argv)
 
     rc = 0
@@ -92,15 +162,19 @@ def main(argv=None) -> int:
             if "error" in row:
                 rc = 1
     else:
+        paths = []
         for p in args.paths:
+            paths += [r["path"] for r in list_artifacts(p)] \
+                if os.path.isdir(p) else [p]
+        for p in paths:
             try:
-                report = check_artifact(p)
+                report = check_artifact(p, run=args.run)
             except Exception as e:  # loud per-file failure, keep going
                 print(json.dumps({"path": p, "error": str(e)}))
                 rc = 1
                 continue
             print(json.dumps(report))
-            if not report["runs_here"]:
+            if not report["runs_here"] or not report["valid"]:
                 rc = 1
     return rc
 

@@ -262,27 +262,42 @@ def test_export_npm_prototype_as_input(tmp_path):
 
 
 def test_artifacts_zoo_list_and_check(tiny_model, tmp_path, capsys):
-    """cli/artifacts: header-only manifest scan + full deserialize check."""
+    """cli/artifacts: header-only manifest scan + full deserialize check
+    (schema validation + --run execution on zero inputs)."""
+    import json
+
     from open_world_semantic_segmentation_tpu.cli import artifacts
 
     model, variables = tiny_model
     blob = export_eval_fn(model, variables, (32, 48), method="msp")
-    save_exported(str(tmp_path / "zoo" / "a.owss"), blob, {"model": "tiny"})
+    meta = {"model": "tiny", "input": [1, 32, 48, 3], "method": "msp"}
+    save_exported(str(tmp_path / "zoo" / "a.owss"), blob, meta)
+    # schema-violating artifact: missing input/method keys
+    save_exported(str(tmp_path / "zoo" / "thin.owss"), blob,
+                  {"model": "tiny"})
     (tmp_path / "zoo" / "not_artifact.owss").write_bytes(b"garbage")
 
     rc = artifacts.main(["list", str(tmp_path / "zoo")])
-    rows = [__import__("json").loads(l)
-            for l in capsys.readouterr().out.splitlines()]
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert rc == 1  # the garbage file is reported loudly
     by_name = {os.path.basename(r["path"]): r for r in rows}
     assert by_name["a.owss"]["model"] == "tiny"
     assert by_name["a.owss"]["format"] == 1
     assert "error" in by_name["not_artifact.owss"]
 
-    rc = artifacts.main(["check", str(tmp_path / "zoo" / "a.owss")])
-    report = __import__("json").loads(capsys.readouterr().out)
+    # single valid artifact, with zero-input execution
+    rc = artifacts.main(["check", str(tmp_path / "zoo" / "a.owss"),
+                         "--run"])
+    report = json.loads(capsys.readouterr().out)
     assert rc == 0 and report["runs_here"] is True
+    assert report["valid"] and report["ran_on_zeros"] is True
     assert any("32,48,3" in a.replace(" ", "") for a in report["in_avals"])
+
+    # schema violation is flagged loudly and fails the whole-dir check
+    rc = artifacts.main(["check", str(tmp_path / "zoo" / "thin.owss")])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not report["valid"]
+    assert any("input" in p for p in report["problems"])
 
 
 def test_export_cli(tmp_path):
