@@ -42,7 +42,8 @@ def run(encoder="resnet50dilated", decoder="ppm_deepsup_embedding",
         steps=300, bs=8, lr=0.02, img_size=96, h=128, w=192,
         n_train=48, n_val=13, seed=0, workdir=None,
         methods=("dissum", "msp"), precision=jnp.bfloat16,
-        eval_precision=None, num_epoch=1, noise=18.0):
+        eval_precision=None, num_epoch=1, noise=18.0,
+        n_blobs=10, min_block=16):
     """Train with the real recipe, eval with the real driver; returns the
     full report dict {"train": {...}, "<method>": {auroc, aupr, fpr,
     mean_iou, accuracy}, "criteria": {...}}."""
@@ -55,7 +56,8 @@ def run(encoder="resnet50dilated", decoder="ppm_deepsup_embedding",
     workdir = workdir or tempfile.mkdtemp(prefix="owss_golden_")
     root = make_streethazards_learnable(
         os.path.join(workdir, "sh"), n_train=n_train, n_val=n_val,
-        h=h, w=w, seed=seed, noise=noise)
+        h=h, w=w, seed=seed, noise=noise, n_blobs=n_blobs,
+        min_block=min_block)
 
     cfg = Config()
     cfg.DIR = os.path.join(workdir, "ckpt")
@@ -188,9 +190,13 @@ def main():
     ap.add_argument("--h", type=int, default=128)
     ap.add_argument("--w", type=int, default=192)
     ap.add_argument("--n-train", type=int, default=48)
-    ap.add_argument("--n-val", type=int, default=6)
+    # n_val >= n_class: the presence guarantee (each class dominates one
+    # val image) only holds when the val split cycles through all classes
+    ap.add_argument("--n-val", type=int, default=13)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--noise", type=float, default=18.0)
+    ap.add_argument("--n-blobs", type=int, default=10)
+    ap.add_argument("--min-block", type=int, default=16)
     ap.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"])
     ap.add_argument("--eval-precision", default=None,
@@ -214,7 +220,8 @@ def main():
     run(encoder=args.encoder, decoder=args.decoder, steps=args.steps,
         bs=args.bs, lr=args.lr, img_size=args.img_size, h=args.h, w=args.w,
         n_train=args.n_train, n_val=args.n_val, seed=args.seed,
-        noise=args.noise, precision=dtype, eval_precision=ep)
+        noise=args.noise, precision=dtype, eval_precision=ep,
+        n_blobs=args.n_blobs, min_block=args.min_block)
 
 
 if __name__ == "__main__":

@@ -68,7 +68,7 @@ ANOMALY_COLOR = (128, 128, 128)  # mid-gray: inside the palette's hull, unseen
 
 def make_streethazards_learnable(root, n_train=48, n_val=13, h=128, w=192,
                                  seed=0, noise=18.0, min_block=16,
-                                 n_class=13, class_strip=False):
+                                 n_class=13, class_strip=False, n_blobs=10):
     """A LEARNABLE StreetHazards-style odgt tree (golden convergence task).
 
     Unlike ``make_streethazards`` (noise images — nothing to learn), every
@@ -90,7 +90,11 @@ def make_streethazards_learnable(root, n_train=48, n_val=13, h=128, w=192,
         sub = "training" if split == "train" else "test"
         for i in range(n):
             lab = np.full((h, w), 1 + (i % n_class), np.uint8)
-            for _ in range(10):
+            # fewer/larger blobs -> lower boundary density. The /8 logit
+            # upsample blurs ~4px around every region edge, so boundary
+            # pixels (inherently ambiguous, like the reference's real
+            # data) bound both mIoU and the dissum false-positive rate.
+            for _ in range(n_blobs):
                 r0 = snap(rng.integers(0, h - min_block))
                 c0 = snap(rng.integers(0, w - min_block))
                 rh = snap(rng.integers(min_block, h // 2)) or 8

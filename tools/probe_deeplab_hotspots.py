@@ -12,8 +12,15 @@ Probes:
   stem    : native 7x7/2 conv vs exact 2x2 space-to-depth (4x4/1 on 12ch)
   dilated : native dilated 3x3 (rates 6/12/18) vs shift+matmul
             (ops/dilated.py) on the real ASPP geometry [64,128,2048]->256
+  aspp    : concat(5x256)+1x1 project vs per-branch projection sum with
+            the image-pool branch projected at 1x1 and broadcast
+            (the ops/ppm_fuse.py linearity trick applied to ASPP,
+            reference network/utils.py:332-361)
+  fuse    : V3+ head concat([low 48ch, up 256ch])+3x3 fuse conv vs two
+            summed convs (removes the 304-ch concat materialization at
+            1/4 resolution, reference network/utils.py:8-40)
 
-Usage: python tools/probe_deeplab_hotspots.py [--scan 50]
+Usage: python tools/probe_deeplab_hotspots.py [--scan 50] [--which ...]
 """
 
 from __future__ import annotations
@@ -139,11 +146,105 @@ def probe_dilated(scan):
     return res
 
 
+def probe_aspp_project(scan):
+    """concat(5 branches)+1x1 project vs per-branch slice-projection sum,
+    pool branch projected at 1x1 resolution and broadcast-added."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    bs = [jnp.asarray(rng.standard_normal((1, 64, 128, 256)) * 0.1,
+                      jnp.bfloat16) for _ in range(4)]
+    p = jnp.asarray(rng.standard_normal((1, 1, 1, 256)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 1, 1280, 256)) * 0.03,
+                    jnp.bfloat16)
+
+    def native(b0, b1, b2, b3, p, k):
+        pool = jnp.broadcast_to(p, b0.shape)
+        y = jnp.concatenate([b0, b1, b2, b3, pool], axis=-1)
+        return jax.lax.conv_general_dilated(
+            y, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def split(b0, b1, b2, b3, p, k):
+        acc = None
+        for i, b in enumerate((b0, b1, b2, b3)):
+            y = jax.lax.conv_general_dilated(
+                b, k[:, :, 256 * i:256 * (i + 1)], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        # pool branch: project the 1x1 vector, broadcast the result
+        yp = jax.lax.conv_general_dilated(
+            p, k[:, :, 1024:], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (acc + yp).astype(jnp.bfloat16)
+
+    @jax.jit
+    def relerr(*a):
+        x = native(*a).astype(jnp.float32)
+        y = split(*a).astype(jnp.float32)
+        return jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(x)) + 1e-9)
+
+    return {
+        "aspp_native_ms": round(
+            timed(native, *bs, p, k, scan=scan) * 1e3, 3),
+        "aspp_split_ms": round(
+            timed(split, *bs, p, k, scan=scan) * 1e3, 3),
+        "aspp_split_rel_err": float(relerr(*bs, p, k)),
+    }
+
+
+def probe_fuse_concat(scan):
+    """V3+ fuse: concat([low 48, up 256]) + 3x3 conv vs two summed 3x3
+    convs on the real 1/4-resolution geometry (256x512)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    low = jnp.asarray(rng.standard_normal((1, 256, 512, 48)) * 0.1,
+                      jnp.bfloat16)
+    up = jnp.asarray(rng.standard_normal((1, 256, 512, 256)) * 0.1,
+                     jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 304, 256)) * 0.02,
+                    jnp.bfloat16)
+
+    def conv(x, kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    def native(low, up, k):
+        return conv(jnp.concatenate([low, up], axis=-1),
+                    k).astype(jnp.bfloat16)
+
+    def split(low, up, k):
+        return (conv(low, k[:, :, :48]) +
+                conv(up, k[:, :, 48:])).astype(jnp.bfloat16)
+
+    @jax.jit
+    def relerr(low, up, k):
+        x = native(low, up, k).astype(jnp.float32)
+        y = split(low, up, k).astype(jnp.float32)
+        return jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(x)) + 1e-9)
+
+    return {
+        "fuse_native_ms": round(timed(native, low, up, k, scan=scan) * 1e3,
+                                3),
+        "fuse_split_ms": round(timed(split, low, up, k, scan=scan) * 1e3,
+                               3),
+        "fuse_split_rel_err": float(relerr(low, up, k)),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scan", type=int, default=50)
     ap.add_argument("--which", default="all",
-                    choices=["all", "stem", "dilated"])
+                    choices=["all", "stem", "dilated", "aspp", "fuse"])
     args = ap.parse_args()
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
@@ -154,6 +255,12 @@ def main():
         print(json.dumps(out), flush=True)
     if args.which in ("all", "dilated"):
         out.update(probe_dilated(args.scan))
+        print(json.dumps(out), flush=True)
+    if args.which in ("all", "aspp"):
+        out.update(probe_aspp_project(args.scan))
+        print(json.dumps(out), flush=True)
+    if args.which in ("all", "fuse"):
+        out.update(probe_fuse_concat(args.scan))
     print(json.dumps(out, indent=2))
 
 
