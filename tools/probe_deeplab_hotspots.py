@@ -240,11 +240,65 @@ def probe_fuse_concat(scan):
     }
 
 
+def probe_fuse_upsampled(scan):
+    """V3+ fuse with the 256-ch branch computed AT ASPP RESOLUTION via
+    ops/ppm_fuse.upsampled_conv3x3: conv3x3(bilinear(aspp, 4x)) done as
+    shifted-interp einsums on the 64x128 map. FLOPs: ~74 GF vs the
+    native concat path's ~184 GF, and neither the 4x-upsampled 256-ch
+    map nor the 304-ch concat is ever materialized."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_world_semantic_segmentation_tpu.ops.ppm_fuse import (
+        upsampled_conv3x3)
+    from open_world_semantic_segmentation_tpu.ops.resize import (
+        bilinear_resize)
+
+    rng = np.random.default_rng(4)
+    low = jnp.asarray(rng.standard_normal((1, 256, 512, 48)) * 0.1,
+                      jnp.bfloat16)
+    aspp = jnp.asarray(rng.standard_normal((1, 64, 128, 256)) * 0.1,
+                       jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 304, 256)) * 0.02,
+                    jnp.bfloat16)
+
+    def conv(x, kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    def native(low, aspp, k):
+        up = bilinear_resize(aspp, (256, 512))
+        return conv(jnp.concatenate([low, up], axis=-1),
+                    k).astype(jnp.bfloat16)
+
+    def upfused(low, aspp, k):
+        y = conv(low, k[:, :, :48])
+        y = y + upsampled_conv3x3(aspp, k[:, :, 48:], (256, 512))
+        return y.astype(jnp.bfloat16)
+
+    @jax.jit
+    def relerr(low, aspp, k):
+        x = native(low, aspp, k).astype(jnp.float32)
+        y = upfused(low, aspp, k).astype(jnp.float32)
+        return jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(x)) + 1e-9)
+
+    return {
+        "fuseup_native_ms": round(
+            timed(native, low, aspp, k, scan=scan) * 1e3, 3),
+        "fuseup_einsum_ms": round(
+            timed(upfused, low, aspp, k, scan=scan) * 1e3, 3),
+        "fuseup_rel_err": float(relerr(low, aspp, k)),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scan", type=int, default=50)
     ap.add_argument("--which", default="all",
-                    choices=["all", "stem", "dilated", "aspp", "fuse"])
+                    choices=["all", "stem", "dilated", "aspp", "fuse",
+                             "fuseup"])
     args = ap.parse_args()
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
@@ -261,6 +315,9 @@ def main():
         print(json.dumps(out), flush=True)
     if args.which in ("all", "fuse"):
         out.update(probe_fuse_concat(args.scan))
+        print(json.dumps(out), flush=True)
+    if args.which in ("all", "fuseup"):
+        out.update(probe_fuse_upsampled(args.scan))
     print(json.dumps(out, indent=2))
 
 
