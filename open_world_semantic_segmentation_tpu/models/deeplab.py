@@ -21,6 +21,7 @@ plus ``cls_novel`` incremental heads of 16+i classes
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -34,6 +35,64 @@ from ..ops.resize import bilinear_resize
 from ..ops.distance import one_hot_center_logits
 
 HEAD_BN = BNConfig(momentum=0.1)
+
+
+class ASPPProject(nn.Module):
+    """The ASPP 1x1 projection computed per-branch, without the 5-way
+    concat (reference network/utils.py:355-361 concatenates then projects).
+
+    Exact split: a 1x1 conv is linear in its input channels, so
+    ``conv1x1(cat(b_0..b_4), K) == sum_i conv1x1(b_i, K[slice_i])``, and
+    the image-pool branch — whose bilinear upsample from 1x1 is a constant
+    broadcast — is projected at 1x1 resolution and broadcast-added.
+
+    Why this exists (round-4 xplane audit, docs/DESIGN.md): the 1280-ch
+    concat is the sole consumer of the three dilated-conv branches, and
+    XLA's layout assignment propagates a concat-friendly T(2,128) tiling
+    back into two of them, slowing each 77-GF conv from its isolated
+    0.9 ms to 2.4-2.5 ms in-program. Removing the concat removes the
+    layout pressure. The slices are taken from the UNCHANGED
+    ``project/conv/kernel`` parameter (identical param tree to
+    ``ConvBN(256, (1, 1), name="project")``), so checkpoints, the .pth
+    converter, and the quant tools are unaffected.
+
+    The per-branch matmuls use ``jnp.einsum`` (dot_general) rather than
+    ``lax.conv`` so bf16 training gradients avoid jax's conv-transpose
+    dtype restriction (see ops/ppm_fuse._conv3x3_f32out).
+    """
+
+    features: int = 256
+    train: bool = False
+    dtype: Any = jnp.float32
+    bn: BNConfig = HEAD_BN
+
+    @nn.compact
+    def __call__(self, branches, pool):
+        cin = sum(b.shape[-1] for b in branches) + pool.shape[-1]
+        kernel = self.variable(
+            "params", "conv",
+            lambda: {"kernel": kaiming_normal(
+                self.make_rng("params"), (1, 1, cin, self.features),
+                jnp.float32)},
+        ).value["kernel"]
+        k2d = kernel[0, 0]
+        cdt = self.dtype
+        acc = None
+        off = 0
+        for b in branches:
+            c = b.shape[-1]
+            t = jnp.einsum("nhwc,cd->nhwd", b.astype(cdt),
+                           k2d[off:off + c].astype(cdt),
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+            off += c
+        tp = jnp.einsum("nc,cd->nd", pool[:, 0, 0].astype(cdt),
+                        k2d[off:].astype(cdt),
+                        preferred_element_type=jnp.float32)
+        y = acc + tp[:, None, None, :]
+        y = self.bn.make(not self.train, dtype=self.dtype,
+                         name="bn")(y.astype(self.dtype))
+        return nn.relu(y)
 
 
 class ASPP(nn.Module):
@@ -72,11 +131,24 @@ class ASPP(nn.Module):
         p = global_avg_pool(x)
         p = ConvBN(self.out_channels, (1, 1), bn=self.bn, train=self.train,
                    dtype=self.dtype, conv_init=kaiming_normal, name="pool")(p)
-        res.append(bilinear_resize(p, size))
-        y = jnp.concatenate(res, axis=-1)
-        y = ConvBN(self.out_channels, (1, 1), bn=self.bn, train=self.train,
-                   dtype=self.dtype, conv_init=kaiming_normal,
-                   quant=self.quant, name="project")(y)
+        # Default dataflow: per-branch projection sum (no 1280-ch concat)
+        # — exact, same param tree, and it frees the dilated branches from
+        # the concat's layout pressure (round-4 audit, docs/DESIGN.md).
+        # OWSS_ASPP_PROJECT=concat keeps the materialized reference
+        # dataflow (also used by the int8 quant path, whose calibrated
+        # projection conv needs the literal concat input).
+        impl = os.environ.get("OWSS_ASPP_PROJECT")
+        if self.quant == "off" and impl != "concat":
+            y = ASPPProject(self.out_channels, train=self.train,
+                            dtype=self.dtype, bn=self.bn,
+                            name="project")(res, p)
+        else:
+            res.append(bilinear_resize(p, size))
+            y = jnp.concatenate(res, axis=-1)
+            y = ConvBN(self.out_channels, (1, 1), bn=self.bn,
+                       train=self.train, dtype=self.dtype,
+                       conv_init=kaiming_normal, quant=self.quant,
+                       name="project")(y)
         return nn.Dropout(0.1, deterministic=not self.train, name="drop")(y)
 
 

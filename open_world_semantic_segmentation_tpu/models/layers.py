@@ -148,10 +148,17 @@ class ConvBN(nn.Module):
         return x
 
     def _use_shift_dilated(self, pad) -> bool:
+        # DEFAULT for ASPP-scale dilations (round-4 audit, docs/DESIGN.md):
+        # together with the concat-free ASPP projection this lifts the
+        # DeepLab OS16 1024x2048 eval from 51 to 61 imgs/sec — XLA's
+        # native lowering of d>=6 convs picks a T(2,128)-tiled layout that
+        # runs at ~1/3 the isolated conv's speed, while the nine shifted
+        # dot_generals tile cleanly. OWSS_DILATED_IMPL=native opts out
+        # (A/B runs); =shift forces it regardless (legacy spelling).
         import os
 
         d = self.dilation
-        return (os.environ.get("OWSS_DILATED_IMPL") == "shift"
+        return (os.environ.get("OWSS_DILATED_IMPL", "shift") != "native"
                 and tuple(self.kernel_size) == (3, 3)
                 and tuple(self.strides) == (1, 1)
                 and self.groups == 1

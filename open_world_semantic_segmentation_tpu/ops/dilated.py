@@ -14,8 +14,13 @@ f32 — no windowing, perfect tiling. Numerics match the native conv up to
 bf16 partial-sum rounding (f32 accumulation per term; the native conv
 accumulates all 9*Cin terms in one f32 chain).
 
-Opt-in via ``OWSS_DILATED_IMPL=shift`` (same pattern as
-``OWSS_RESIZE_IMPL``); ConvBN routes eligible convs automatically.
+DEFAULT since round 4 for eligible convs (3x3, stride 1, ungrouped,
+d >= 6, symmetric pad d): combined with the concat-free ASPP projection
+(models/deeplab.py ASPPProject) it lifts the DeepLab OS16 1024x2048 eval
+from 51 to 61 imgs/sec on v5e — the win only appears when BOTH are
+active (the 1280-ch concat otherwise re-imposes the bad layout; round-3
+measured shift-with-concat at no gain). ``OWSS_DILATED_IMPL=native``
+opts out; ConvBN routes eligible convs automatically.
 """
 
 from __future__ import annotations

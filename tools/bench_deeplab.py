@@ -88,7 +88,7 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         "value": round(1.0 / dt, 4),
         "unit": "imgs/sec/chip",
         "quant": quant,
-        "dilated_impl": dilated_impl or "native",
+        "dilated_impl": os.environ.get("OWSS_DILATED_IMPL", "shift"),
         "batch": batch,
         "input": [height, width],
     }))
@@ -104,9 +104,11 @@ if __name__ == "__main__":
     ap.add_argument("--quant", default="off",
                     choices=["off", "int8", "int8-3x3"])
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--dilated-impl", default=None, choices=["shift"],
-                    help="route ASPP-scale dilated convs through the "
-                         "shift+matmul formulation (ops/dilated.py)")
+    ap.add_argument("--dilated-impl", default=None,
+                    choices=["shift", "native"],
+                    help="override OWSS_DILATED_IMPL (default since round "
+                         "4: shift for ASPP-scale dilations; 'native' for "
+                         "A/B runs against XLA's conv lowering)")
     args = ap.parse_args()
     main(args.model, args.height, args.width, args.imgs, args.iters,
          args.quant, args.dilated_impl, args.batch)

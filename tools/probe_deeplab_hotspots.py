@@ -114,6 +114,54 @@ def probe_stem(scan):
     return res
 
 
+def probe_stem_ctx(scan):
+    """The stem AS THE PROGRAM RUNS IT: f32 input -> bf16 cast -> 7x7/2
+    conv -> BN affine + relu -> 3x3/2 maxpool. The isolated bf16 conv
+    probes at ~0.56 ms but the in-program fusion occupies ~2.6 ms
+    (xplane, round 4) — this variant isolates which wrapper element
+    (f32 input cast, epilogue, maxpool context) is responsible."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    xf = jnp.asarray(rng.standard_normal((1, 1024, 2048, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.05, jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    def full(xf, k, scale, bias):
+        y = conv(xf.astype(jnp.bfloat16), k)
+        y = jnp.maximum(y * scale + bias, 0.0).astype(jnp.bfloat16)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def conv_f32in(xf, k, scale, bias):
+        return conv(xf.astype(jnp.bfloat16), k)
+
+    def conv_bf16in(xf, k, scale, bias):
+        # pre-cast OUTSIDE the timed fn is impossible in-scan; cast is
+        # still inside, but via an explicit standalone convert
+        xb = xf.astype(jnp.bfloat16)
+        xb = jax.lax.optimization_barrier(xb)
+        return conv(xb, k)
+
+    return {
+        "stemctx_full_ms": round(
+            timed(full, xf, k, scale, bias, scan=scan) * 1e3, 3),
+        "stemctx_conv_f32in_ms": round(
+            timed(conv_f32in, xf, k, scale, bias, scan=scan) * 1e3, 3),
+        "stemctx_conv_barrier_ms": round(
+            timed(conv_bf16in, xf, k, scale, bias, scan=scan) * 1e3, 3),
+    }
+
+
 def probe_dilated(scan):
     import jax
     import jax.numpy as jnp
@@ -297,8 +345,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scan", type=int, default=50)
     ap.add_argument("--which", default="all",
-                    choices=["all", "stem", "dilated", "aspp", "fuse",
-                             "fuseup"])
+                    choices=["all", "stem", "stemctx", "dilated", "aspp",
+                             "fuse", "fuseup"])
     args = ap.parse_args()
     from open_world_semantic_segmentation_tpu.core.cache import enable
     enable()
@@ -306,6 +354,9 @@ def main():
     out = {}
     if args.which in ("all", "stem"):
         out.update(probe_stem(args.scan))
+        print(json.dumps(out), flush=True)
+    if args.which in ("all", "stemctx"):
+        out.update(probe_stem_ctx(args.scan))
         print(json.dumps(out), flush=True)
     if args.which in ("all", "dilated"):
         out.update(probe_dilated(args.scan))
