@@ -25,12 +25,12 @@ upsampled (torch align_corners=False parity).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..core.flags import dataflow_flag
 from .layers import BNConfig, Conv, ConvBN, kaiming_normal
 from ..ops.pool import adaptive_avg_pool
 from ..ops.ppm_fuse import ppm_fuse_conv
@@ -194,8 +194,9 @@ class _PPMHead(nn.Module):
         # + PPM branches, concat-free fuse (int8 weights dequantized
         # exactly via the post-conv w_scale; activations bf16).
         # OWSS_PPM_FUSE=force keeps the old env-var spelling of the same
-        # split for A/B runs.
-        impl = os.environ.get("OWSS_PPM_FUSE")
+        # split for A/B runs. Read at TRACE time, validated — see
+        # core/flags.py.
+        impl = dataflow_flag("OWSS_PPM_FUSE")
         if ((self.quant in ("off", "int8-hybrid") and impl != "concat")
                 or impl == "force"):
             x = PPMFuse(512, self.train, self.dtype, self.bn,

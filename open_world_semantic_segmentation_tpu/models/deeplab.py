@@ -21,12 +21,12 @@ plus ``cls_novel`` incremental heads of 16+i classes
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..core.flags import dataflow_flag
 from .layers import BNConfig, Conv, ConvBN, kaiming_normal
 from .resnet import resnet_deeplab
 from .mobilenet import mobilenet_v2
@@ -136,8 +136,9 @@ class ASPP(nn.Module):
         # the concat's layout pressure (round-4 audit, docs/DESIGN.md).
         # OWSS_ASPP_PROJECT=concat keeps the materialized reference
         # dataflow (also used by the int8 quant path, whose calibrated
-        # projection conv needs the literal concat input).
-        impl = os.environ.get("OWSS_ASPP_PROJECT")
+        # projection conv needs the literal concat input). Read at TRACE
+        # time, validated — see core/flags.py.
+        impl = dataflow_flag("OWSS_ASPP_PROJECT")
         if self.quant == "off" and impl != "concat":
             y = ASPPProject(self.out_channels, train=self.train,
                             dtype=self.dtype, bn=self.bn,

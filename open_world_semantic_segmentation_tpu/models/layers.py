@@ -154,11 +154,11 @@ class ConvBN(nn.Module):
         # native lowering of d>=6 convs picks a T(2,128)-tiled layout that
         # runs at ~1/3 the isolated conv's speed, while the nine shifted
         # dot_generals tile cleanly. OWSS_DILATED_IMPL=native opts out
-        # (A/B runs); =shift forces it regardless (legacy spelling).
-        import os
+        # (A/B runs). Read at TRACE time, validated — see core/flags.py.
+        from ..core.flags import dataflow_flag
 
         d = self.dilation
-        return (os.environ.get("OWSS_DILATED_IMPL", "shift") != "native"
+        return (dataflow_flag("OWSS_DILATED_IMPL") != "native"
                 and tuple(self.kernel_size) == (3, 3)
                 and tuple(self.strides) == (1, 1)
                 and self.groups == 1

@@ -65,11 +65,11 @@ def bilinear_resize(x, size, *, channel_last: bool = True):
     Set ``OWSS_RESIZE_IMPL=mxu`` to route NHWC resizes through the
     interpolation-matmul formulation (same sampling grid, systolic-array
     execution) — identical results to ~1e-6, sometimes faster for the large
-    logit upsamples.
+    logit upsamples. Read at TRACE time, validated — see core/flags.py.
     """
-    import os
+    from ..core.flags import dataflow_flag
 
-    if os.environ.get("OWSS_RESIZE_IMPL") == "mxu" and channel_last \
+    if dataflow_flag("OWSS_RESIZE_IMPL") == "mxu" and channel_last \
             and x.ndim >= 3:
         return bilinear_resize_mxu(x, size)
     h_out, w_out = int(size[0]), int(size[1])

@@ -88,7 +88,10 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         "value": round(1.0 / dt, 4),
         "unit": "imgs/sec/chip",
         "quant": quant,
-        "dilated_impl": os.environ.get("OWSS_DILATED_IMPL", "shift"),
+        # under quant, ConvBN's _quantized_conv takes precedence over the
+        # shift path and ASPP uses the concat dataflow — report what ran
+        "dilated_impl": ("n/a (quant)" if quant != "off"
+                         else os.environ.get("OWSS_DILATED_IMPL", "shift")),
         "batch": batch,
         "input": [height, width],
     }))
