@@ -38,6 +38,19 @@ KNOWN_FLAGS = {
     "OWSS_PPM_FUSE": ("fuse", ("fuse", "concat", "force")),
     # ops/resize.py: gather-based interp vs interpolation-matmul (MXU)
     "OWSS_RESIZE_IMPL": ("interp", ("interp", "mxu")),
+    # models/layers.py ConvBN: stride-2 image-stem conv as 2x2
+    # space-to-depth + stride-1 conv (ops/stem.py) vs XLA's native
+    # phase-split lowering. NEGATIVE probe (docs/DESIGN.md round-5): the
+    # explicit s2d transpose costs what the phase-split copies cost —
+    # 58.1 vs 59.1 imgs/sec e2e on the 1024x2048 DeepLab eval — so the
+    # native lowering stays the default; the formulation is kept for A/B
+    # runs and exactness-tested (tests/test_ops.py)
+    "OWSS_STEM_IMPL": ("native", ("s2d", "native")),
+    # models/resnet.py: optimization_barrier around the stem — probe flag
+    # for the in-program stem-fusion slowdown (docs/DESIGN.md round-4
+    # DeepLab audit residual); "conv" barriers the stem conv output,
+    # "pool" the maxpool output, "both" both
+    "OWSS_STEM_BARRIER": ("off", ("off", "conv", "pool", "both")),
 }
 
 

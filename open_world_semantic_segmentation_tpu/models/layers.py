@@ -112,6 +112,26 @@ class ConvBN(nn.Module):
             quant = "int8"  # the hybrid split lives in the PPM decoder
         if quant in ("calib", "int8", "w4a8"):
             x = self._quantized_conv(x, pad, quant)
+        elif self._use_s2d_stem(x, pad):
+            # OWSS_STEM_IMPL=s2d (opt-in A/B formulation): the stride-2
+            # image-stem conv as space-to-depth + stride-1 conv
+            # (ops/stem.py). Dodges XLA's phase-split lowering but pays
+            # the relayout in the explicit transpose instead — e2e it
+            # TIES the native lowering (negative probe, docs/DESIGN.md
+            # round 5). Exact reassociation; same conv/kernel param.
+            # Read at TRACE time, validated — see core/flags.py.
+            from ..ops.stem import conv_stride2_s2d
+
+            kernel = self.variable(
+                "params", "conv",
+                lambda: {"kernel": self.conv_init(
+                    self.make_rng("params"),
+                    (*self.kernel_size, x.shape[-1], self.features),
+                    jnp.float32)},
+            ).value["kernel"]
+            x = conv_stride2_s2d(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                pad[0][0], preferred_element_type=self.dtype)
         elif self._use_shift_dilated(pad):
             # OWSS_DILATED_IMPL=shift: large-dilation 3x3 as nine shifted
             # MXU matmuls (ops/dilated.py) — XLA's native lowering tiles
@@ -146,6 +166,22 @@ class ConvBN(nn.Module):
         if self.relu:
             x = nn.relu(x)
         return x
+
+    def _use_s2d_stem(self, x, pad) -> bool:
+        # Opt-in for the stride-2 image-stem conv (Cin <= 4 — only the
+        # conv that sees the RGB image qualifies): see __call__ comment
+        # and ops/stem.py. Requires even H/W and symmetric torch padding.
+        from ..core.flags import dataflow_flag
+
+        kh, kw = self.kernel_size
+        return (dataflow_flag("OWSS_STEM_IMPL") != "native"
+                and tuple(self.strides) == (2, 2)
+                and self.groups == 1
+                and tuple(self.dilation) == (1, 1)
+                and kh % 2 == 1 and kh == kw
+                and x.ndim == 4 and x.shape[-1] <= 4
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and pad[0] == pad[1] and pad[0][0] == pad[0][1])
 
     def _use_shift_dilated(self, pad) -> bool:
         # DEFAULT for ASPP-scale dilations (round-4 audit, docs/DESIGN.md):

@@ -24,10 +24,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import BNConfig, ConvBN, kaiming_fan_out
+from ..core.flags import dataflow_flag
 from ..ops.pool import max_pool_3x3_s2_p1
 
 
@@ -152,7 +154,16 @@ class ResNet(nn.Module):
         else:
             x = ConvBN(64, (7, 7), (2, 2), padding=3, bn=self.bn,
                        train=self.train, dtype=self.dtype, name="stem1")(x)
+        # probe flag (trace-time, core/flags.py): the round-4 DeepLab audit
+        # left a ~1.6 ms/img in-program-vs-isolated gap on the stem fusion;
+        # optimization_barrier pins a schedule/fusion boundary to test
+        # whether the gap is fusion-scheduling (it is layout-neutral)
+        barrier = dataflow_flag("OWSS_STEM_BARRIER")
+        if barrier in ("conv", "both"):
+            x = jax.lax.optimization_barrier(x)
         x = max_pool_3x3_s2_p1(x)
+        if barrier in ("pool", "both"):
+            x = jax.lax.optimization_barrier(x)
 
         outs = []
         plan = _stage_plan(self.output_stride)

@@ -67,10 +67,12 @@ def test_default_dataflow_matches_reference_dataflow(monkeypatch):
 
     monkeypatch.delenv("OWSS_DILATED_IMPL", raising=False)
     monkeypatch.delenv("OWSS_ASPP_PROJECT", raising=False)
+    monkeypatch.delenv("OWSS_STEM_IMPL", raising=False)
     logits_default = np.asarray(model.apply(v, x)[0], np.float32)
 
     monkeypatch.setenv("OWSS_DILATED_IMPL", "native")
     monkeypatch.setenv("OWSS_ASPP_PROJECT", "concat")
+    monkeypatch.setenv("OWSS_STEM_IMPL", "native")
     logits_ref = np.asarray(model.apply(v, x)[0], np.float32)
 
     np.testing.assert_allclose(logits_default, logits_ref,

@@ -110,3 +110,45 @@ def test_bilinear_resize_mxu_matches_gather(in_hw, out_hw):
     got = np.asarray(bilinear_resize_mxu(
         jnp.asarray(x), out_hw, precision=lax.Precision.HIGHEST))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,p,cin", [(7, 3, 3), (3, 1, 3), (7, 3, 4)])
+def test_conv_stride2_s2d_matches_native(kh, p, cin):
+    """Space-to-depth stem reparam (ops/stem.py) == lax stride-2 conv —
+    exact up to accumulation-order rounding. Covers both reference stems
+    (torchvision 7x7/2 pad 3, CSAIL deep-stem 3x3/2 pad 1)."""
+    import jax
+    from open_world_semantic_segmentation_tpu.ops.stem import (
+        conv_stride2_s2d)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kh, kh, cin, 32)) * 0.1,
+                    jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv_stride2_s2d(x, k, p)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_impl_flag_model_level(monkeypatch):
+    """ResNet stem through OWSS_STEM_IMPL=s2d (opt-in) vs native (the
+    default): same features downstream."""
+    import jax
+    from open_world_semantic_segmentation_tpu.models.resnet import resnet18
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    model = resnet18(stem="7x7", output_stride=16)
+    v = model.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("OWSS_STEM_IMPL", "native")
+    outs_native = model.apply(v, x)
+    monkeypatch.setenv("OWSS_STEM_IMPL", "s2d")
+    outs_s2d = model.apply(v, x)
+    for a, b in zip(outs_s2d, outs_native):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
