@@ -215,6 +215,58 @@ def test_flagship_sharded_hlo_communication_guard():
         "longer reduced over the data axis")
 
 
+def test_deeplab_sharded_hlo_communication_guard():
+    """The DeepLab-side counterpart of the flagship guard: the round-4
+    default dataflows (shift+matmul dilated ASPP convs, projection-sum
+    ASPP — ops/dilated.py, models/deeplab.py) must stay GSPMD-clean on
+    the 8-device data mesh. The nine shifted dot_generals and the
+    interpolation-matmul resize are exactly the kind of op whose naive
+    lowering (gather / concat over a sharded axis) would emit
+    all-to-alls; this fails if a dataflow change regresses that."""
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_resnet50)
+    from open_world_semantic_segmentation_tpu.train import (
+        TrainState, make_deeplab_train_step)
+    from open_world_semantic_segmentation_tpu.train.optim import torch_sgd
+
+    mesh = make_mesh(8)
+    model = deeplabv3plus_embedding_resnet50(num_classes=16, train=True)
+    img = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    tx = torch_sgd(lambda s: 0.01, 0.9, 1e-4)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    state = replicate(state, mesh)
+    batch = shard_batch(
+        {"image": np.zeros((8, 64, 64, 3), np.float32),
+         "label": np.zeros((8, 64, 64), np.int32)}, mesh)
+
+    step = make_deeplab_train_step(model)
+    train_txt = step.lower(state, batch).compile().as_text()
+
+    eval_model = deeplabv3plus_embedding_resnet50(num_classes=16)
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def eval_fn(v, a):
+        logits = eval_model.apply(v, a)[0]
+        return jnp.argmax(logits, axis=-1)
+
+    eval_txt = jax.jit(eval_fn).lower(
+        eval_vars, batch["image"]).compile().as_text()
+
+    for name, txt in (("train", train_txt), ("eval", eval_txt)):
+        assert "all-to-all" not in txt, (
+            f"deeplab {name} step: GSPMD emitted an all-to-all — a "
+            "default dataflow (shift dilated / ASPP projection / resize "
+            "matmul) stopped partitioning cleanly")
+        assert "is_host_transfer=true" not in txt, (
+            f"deeplab {name} step contains a host transfer")
+        assert "infeed" not in txt and "outfeed" not in txt, (
+            f"deeplab {name} step contains infeed/outfeed")
+    assert "all-reduce" in train_txt, (
+        "deeplab train step lost its gradient/BN all-reduce")
+
+
 def test_spatially_sharded_eval_matches_single_device():
     """Width-sharded full-res eval (2-D mesh): XLA's GSPMD inserts conv
     halo exchanges; predictions must be identical to unsharded."""
