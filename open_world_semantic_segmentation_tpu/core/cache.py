@@ -18,18 +18,44 @@ def _host_fingerprint() -> str:
     """Microarch key for the cache path. XLA:CPU stores AOT machine code
     keyed only by program+options — NOT by host machine features — and
     loading an entry compiled on a different microarch both warns
-    (cpu_aot_loader 'Compile machine features ... vs host') and produces
-    float results a couple of ulps off fresh codegen, which breaks
-    bitwise-parity tests. Splitting the cache per CPU-flags fingerprint
-    makes a cache populated on one host invisible to a different one."""
+    (cpu_aot_loader 'Compile machine features ... vs host') and at best
+    produces float results a couple of ulps off fresh codegen (breaking
+    bitwise-parity tests), at worst ABORTS mid-run (observed: entries
+    carrying ``+prefer-no-gather``/``+amx-*`` loaded on a later host
+    whose LLVM detection lacked them -> SIGABRT inside a training loop).
+
+    The flags line alone proved insufficient: two VM hosts reported an
+    identical ``flags`` line while LLVM (which reads CPUID directly, and
+    whose own version picks tuning features like ``prefer-no-gather``)
+    produced different target machines. So the key hashes every stable
+    CPU-identity line (model name / family / model / stepping /
+    microcode / flags — volatile lines like ``cpu MHz`` excluded) PLUS
+    the jax+jaxlib versions, covering both hardware rotation and
+    toolchain bumps. A cache populated under any other combination is
+    simply invisible (orphaned, safe to prune)."""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if line.startswith(("flags", "Features", "model name",
+                                    "cpu family", "model\t", "model :",
+                                    "stepping", "microcode")):
+                    ident.append(line.strip())
+                if len(ident) >= 12:  # lines repeat per core; one is enough
+                    break
     except OSError:
         pass
-    return platform.machine() or "unknown"
+    try:
+        import jax
+        import jaxlib
+
+        ident.append(f"jax={jax.__version__} jaxlib={jaxlib.__version__}")
+    except Exception:
+        pass
+    if not ident:
+        return platform.machine() or "unknown"
+    return hashlib.sha1("\n".join(sorted(set(ident))).encode()) \
+        .hexdigest()[:10]
 
 
 def enable(cache_dir: str = None):
