@@ -294,6 +294,29 @@ def _aspp_rates(output_stride: int) -> Tuple[int, int, int]:
     return (12, 24, 36) if output_stride == 8 else (6, 12, 18)
 
 
+def _split_quant(quant: str) -> Tuple[str, str]:
+    """Map a user-facing quant mode to ``(backbone_mode, head_mode)``.
+
+    On the DeepLab stack ``"int8-hybrid"`` means int8 BACKBONE ONLY:
+    full int8 LOSES at OS16 full-res eval (34.8 vs 60.7 imgs/sec) both
+    because the requant chains ride the head/tail and because the
+    quantized ASPP must abandon the concat-free round-4 dataflows for
+    its calibrated concat projection. The hybrid keeps the head in the
+    compute dtype with the fast dataflows and quantizes only the
+    bandwidth-heavy ResNet stages. ``"calib-hybrid"`` is its calibration
+    twin — ``amax`` is recorded only where the eval model quantizes, so
+    ``ops.quant.prequantize`` touches exactly the backbone kernels.
+    (The flagship PSPNet stack resolves the same mode differently —
+    there the PPM decoder keeps the concat-free FUSE only; see
+    models/decoders.py.)
+    """
+    if quant == "int8-hybrid":
+        return "int8", "off"
+    if quant == "calib-hybrid":
+        return "calib", "off"
+    return quant, quant
+
+
 def _resnet_backbone(depth, output_stride, train, dtype,
                      bn_momentum: float = 0.01, quant: str = "off"):
     return resnet_deeplab(depth=depth, output_stride=output_stride,
@@ -303,9 +326,10 @@ def _resnet_backbone(depth, output_stride, train, dtype,
 
 def deeplabv3plus_resnet101(num_classes=21, output_stride=16, train=False,
                             dtype=jnp.float32, quant="off"):
-    bb = _resnet_backbone(101, output_stride, train, dtype, quant=quant)
+    bq, hq = _split_quant(quant)
+    bb = _resnet_backbone(101, output_stride, train, dtype, quant=bq)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, quant=quant,
+                             train=train, dtype=dtype, quant=hq,
                              name="head")
     return DeepLabV3Plus(backbone=bb, head=head)
 
@@ -347,9 +371,10 @@ def deeplabv3_mobilenet(num_classes=21, output_stride=16, train=False,
 def deeplabv3plus_embedding_resnet101(num_classes=16, output_stride=16,
                                       train=False, dtype=jnp.float32,
                                       quant="off"):
-    bb = _resnet_backbone(101, output_stride, train, dtype, quant=quant)
+    bq, hq = _split_quant(quant)
+    bb = _resnet_backbone(101, output_stride, train, dtype, quant=bq)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, quant=quant,
+                             train=train, dtype=dtype, quant=hq,
                              name="head")
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 
@@ -360,9 +385,10 @@ def deeplabv3plus_embedding_resnet50(num_classes=16, output_stride=16,
     """ResNet-50 variant of the embedding model. The reference only ships
     the resnet101 composition (network/modeling.py:140-148); this is the
     same head on the lighter backbone — an API extension, not a port."""
-    bb = _resnet_backbone(50, output_stride, train, dtype, quant=quant)
+    bq, hq = _split_quant(quant)
+    bb = _resnet_backbone(50, output_stride, train, dtype, quant=bq)
     head = DeepLabHeadV3Plus(num_classes, _aspp_rates(output_stride),
-                             train=train, dtype=dtype, quant=quant,
+                             train=train, dtype=dtype, quant=hq,
                              name="head")
     return DeepLabV3PlusEmbedding(backbone=bb, head=head)
 

@@ -238,6 +238,43 @@ def test_deeplab_int8_forward_close_to_fp():
     assert agree > 0.9, f"argmax agreement {agree}"
 
 
+def test_deeplab_int8_hybrid_backbone_only():
+    """int8-hybrid on the DeepLab stack = int8 BACKBONE only
+    (models/deeplab.py _split_quant): head kernels stay f32 (so the
+    bf16 head keeps the round-4 fast dataflows), backbone stage kernels
+    prequantize to int8, and the hybrid forward tracks the fp forward."""
+    from open_world_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3plus_embedding_resnet50)
+    from open_world_semantic_segmentation_tpu.ops.quant import (
+        calibrate_and_prequantize)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m_off = deeplabv3plus_embedding_resnet50(num_classes=16)
+    m_cal = deeplabv3plus_embedding_resnet50(num_classes=16,
+                                             quant="calib-hybrid")
+    m_q = deeplabv3plus_embedding_resnet50(num_classes=16,
+                                           quant="int8-hybrid")
+    v = m_off.init(jax.random.PRNGKey(0), x)
+    v_q = calibrate_and_prequantize(m_cal, dict(v), [np.asarray(x)],
+                                    mode="int8-hybrid")
+
+    # amax recorded ONLY in the backbone; head params untouched (f32)
+    assert "backbone" in v_q["quant"] and "head" not in v_q["quant"]
+    head_dtypes = {leaf.dtype for leaf in
+                   jax.tree_util.tree_leaves(v_q["params"]["head"])}
+    assert jnp.int8 not in head_dtypes
+    n_int8 = sum(1 for leaf in
+                 jax.tree_util.tree_leaves(v_q["params"]["backbone"])
+                 if leaf.dtype == jnp.int8)
+    assert n_int8 > 0
+
+    logits_off = np.asarray(m_off.apply(v, x)[0], np.float32)
+    logits_q = np.asarray(m_q.apply(v_q, x)[0], np.float32)
+    agree = (logits_off.argmax(-1) == logits_q.argmax(-1)).mean()
+    assert agree > 0.9, f"argmax agreement {agree}"
+
+
 def test_calibrate_for_quant_with_image_glob(tmp_path):
     """CLI-side calibration helper: real image files via --calib-glob."""
     from PIL import Image

@@ -57,7 +57,11 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         from open_world_semantic_segmentation_tpu.ops.quant import (
             calibrate_and_prequantize)
 
-        m_cal = factory(num_classes=16, dtype=jnp.bfloat16, quant="calib")
+        # int8-hybrid on the DeepLab stack = int8 backbone only
+        # (models/deeplab.py _split_quant); its calibration twin records
+        # amax only where the eval model quantizes
+        calib_mode = "calib-hybrid" if quant == "int8-hybrid" else "calib"
+        m_cal = factory(num_classes=16, dtype=jnp.bfloat16, quant=calib_mode)
         cal = [rng.standard_normal(
             (1, height, width, 3)).astype(np.float32)]
         variables = calibrate_and_prequantize(m_cal, variables, cal,
@@ -88,9 +92,11 @@ def main(model_depth=101, height=1024, width=2048, n_imgs=8, n_iters=2,
         "value": round(1.0 / dt, 4),
         "unit": "imgs/sec/chip",
         "quant": quant,
-        # under quant, ConvBN's _quantized_conv takes precedence over the
-        # shift path and ASPP uses the concat dataflow — report what ran
-        "dilated_impl": ("n/a (quant)" if quant != "off"
+        # under full quant, ConvBN's _quantized_conv takes precedence over
+        # the shift path and ASPP uses the concat dataflow — report what
+        # ran; int8-hybrid keeps the bf16 head, so its ASPP convs DO run
+        # the shift/projection-sum defaults
+        "dilated_impl": ("n/a (quant)" if quant in ("int8", "int8-3x3")
                          else os.environ.get("OWSS_DILATED_IMPL", "shift")),
         "batch": batch,
         "input": [height, width],
@@ -105,7 +111,7 @@ if __name__ == "__main__":
     ap.add_argument("--imgs", type=int, default=8)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--quant", default="off",
-                    choices=["off", "int8", "int8-3x3"])
+                    choices=["off", "int8", "int8-3x3", "int8-hybrid"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dilated-impl", default=None,
                     choices=["shift", "native"],
